@@ -1,0 +1,236 @@
+"""Hendrycks & Dietterich common-corruptions battery (the 11 transforms the
+reference's C-tables use, figures/ABtesting.py:635-636), in jnp with explicit
+PRNG keys.
+
+Constants match utils/hendrycks_robustness.py:141-427 exactly; randomness is
+keyed instead of global. All functions take NHWC (B, H, W, 3) in [0, 1] and
+a severity in 1..5. ``IMSIZE=32`` below reproduces the reference's behaviour
+of keeping the CIFAR-scale elastic constants even on 256x256 tiles.
+"""
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raw2logit_tpu.ops.filters import gaussian_filter_2d
+
+IMSIZE = 32
+
+
+def _per_channel_gaussian(x, sigma, pad_mode="edge"):
+    """skimage.filters.gaussian(multichannel=True): per-channel filter,
+    mode='nearest'."""
+    planes = [gaussian_filter_2d(x[..., c], sigma, pad_mode=pad_mode)
+              for c in range(x.shape[-1])]
+    return jnp.stack(planes, axis=-1)
+
+
+def identity(key, x, severity=1):
+    del key, severity
+    return x
+
+
+def gaussian_noise(key, x, severity=1):
+    c = [0.04, 0.06, 0.08, 0.09, 0.10][severity - 1]
+    return jnp.clip(x + jax.random.normal(key, x.shape) * c, 0, 1)
+
+
+def shot_noise(key, x, severity=1):
+    c = [500, 250, 100, 75, 50][severity - 1]
+    return jnp.clip(jax.random.poisson(key, x * c).astype(x.dtype) / c, 0, 1)
+
+
+def impulse_noise(key, x, severity=1):
+    """salt & pepper, amount c, half salt half pepper (skimage
+    random_noise(mode='s&p'))."""
+    c = [0.01, 0.02, 0.03, 0.05, 0.07][severity - 1]
+    u = jax.random.uniform(key, x.shape)
+    x = jnp.where(u < c / 2, 1.0, x)          # salt
+    x = jnp.where(u > 1 - c / 2, 0.0, x)      # pepper
+    return jnp.clip(x, 0, 1)
+
+
+def speckle_noise(key, x, severity=1):
+    c = [0.06, 0.1, 0.12, 0.16, 0.2][severity - 1]
+    return jnp.clip(x + x * jax.random.normal(key, x.shape) * c, 0, 1)
+
+
+def gaussian_blur(key, x, severity=1):
+    del key
+    c = [0.4, 0.6, 0.7, 0.8, 1.0][severity - 1]
+    return jnp.clip(_per_channel_gaussian(x, c), 0, 1)
+
+
+def _clipped_zoom(img, zoom_factor):
+    """Center-crop + bilinear zoom back to size (hendrycks:123-133);
+    per-image (H, W, C)."""
+    h = img.shape[0]
+    ch = int(np.ceil(h / zoom_factor))
+    top = (h - ch) // 2
+    crop = img[top:top + ch, top:top + ch]
+    zh = int(round(ch * zoom_factor))
+    zoomed = jax.image.resize(crop, (zh, zh, img.shape[2]), method="bilinear")
+    trim = (zh - h) // 2
+    return zoomed[trim:trim + h, trim:trim + h]
+
+
+def zoom_blur(key, x, severity=1):
+    del key
+    factors = [np.arange(1, 1.06, 0.01), np.arange(1, 1.11, 0.01),
+               np.arange(1, 1.16, 0.01), np.arange(1, 1.21, 0.01),
+               np.arange(1, 1.26, 0.01)][severity - 1]
+
+    def _one(img):
+        out = jnp.zeros_like(img)
+        for z in factors:
+            out = out + _clipped_zoom(img, float(z))
+        return (img + out) / (len(factors) + 1)
+
+    return jnp.clip(jax.vmap(_one)(x), 0, 1)
+
+
+def contrast(key, x, severity=1):
+    del key
+    c = [0.75, 0.5, 0.4, 0.3, 0.15][severity - 1]
+    means = jnp.mean(x, axis=(1, 2), keepdims=True)
+    return jnp.clip((x - means) * c + means, 0, 1)
+
+
+def rgb_to_hsv(rgb):
+    """skimage.color.rgb2hsv-compatible."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    safe = jnp.where(delta > 0, delta, 1.0)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def brightness(key, x, severity=1):
+    del key
+    c = [0.05, 0.1, 0.15, 0.2, 0.3][severity - 1]
+    hsv = rgb_to_hsv(x)
+    hsv = hsv.at[..., 2].set(jnp.clip(hsv[..., 2] + c, 0, 1))
+    return jnp.clip(hsv_to_rgb(hsv), 0, 1)
+
+
+def saturate(key, x, severity=1):
+    del key
+    c = [(0.3, 0.0), (0.1, 0.0), (1.5, 0.0), (2.0, 0.1), (2.5, 0.2)][severity - 1]
+    hsv = rgb_to_hsv(x)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * c[0] + c[1], 0, 1))
+    return jnp.clip(hsv_to_rgb(hsv), 0, 1)
+
+
+def _affine_from_points(pts1, pts2):
+    """Solve the 2x3 affine mapping pts1 -> pts2 (cv2.getAffineTransform)."""
+    a = np.zeros((6, 6))
+    b = np.zeros(6)
+    for i in range(3):
+        x, y = pts1[i]
+        a[2 * i, :3] = [x, y, 1]
+        a[2 * i + 1, 3:] = [x, y, 1]
+        b[2 * i], b[2 * i + 1] = pts2[i]
+    m = np.linalg.solve(a, b)
+    return np.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], np.float32)
+
+
+def elastic_transform(key, x, severity=1, imsize=IMSIZE):
+    """Random affine + gaussian-smoothed displacement field, order-1
+    map_coordinates, reflect boundary (hendrycks:398-427). The reference
+    keeps IMSIZE=32 constants at any resolution; we default to the same."""
+    c = [(imsize * 0.0, imsize * 0.0, imsize * 0.08),
+         (imsize * 0.05, imsize * 0.2, imsize * 0.07),
+         (imsize * 0.08, imsize * 0.06, imsize * 0.06),
+         (imsize * 0.1, imsize * 0.04, imsize * 0.05),
+         (imsize * 0.1, imsize * 0.03, imsize * 0.03)][severity - 1]
+
+    h, w = x.shape[1], x.shape[2]
+    k_aff, k_dx, k_dy = jax.random.split(key, 3)
+
+    center = np.float32([h // 2, w // 2])
+    square = min(h, w) // 3
+    pts1 = np.float32([center + square,
+                       [center[0] + square, center[1] - square],
+                       center - square])
+    jitter = np.asarray(jax.random.uniform(
+        k_aff, pts1.shape, minval=-c[2], maxval=c[2]), np.float32)
+    m = _affine_from_points(pts1, pts1 + jitter)
+    # inverse affine for coordinate pull
+    m3 = np.vstack([m, [0, 0, 1]])
+    minv = np.linalg.inv(m3)[:2]
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    src_x = minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]
+    src_y = minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]
+
+    if c[1] > 0:
+        dx = gaussian_filter_2d(
+            jax.random.uniform(k_dx, (h, w), minval=-1, maxval=1),
+            c[1], pad_mode="symmetric", truncate=3.0) * c[0]
+        dy = gaussian_filter_2d(
+            jax.random.uniform(k_dy, (h, w), minval=-1, maxval=1),
+            c[1], pad_mode="symmetric", truncate=3.0) * c[0]
+    else:
+        dx = dy = jnp.zeros((h, w), jnp.float32)
+
+    coord_y = src_y + dy
+    coord_x = src_x + dx
+
+    def _chan(plane):  # (H, W)
+        return jax.scipy.ndimage.map_coordinates(
+            plane, [coord_y, coord_x], order=1, mode="mirror")
+
+    def _one(img):  # (H, W, C)
+        return jax.vmap(_chan, in_axes=-1, out_axes=-1)(img)
+
+    return jnp.clip(jax.vmap(_one)(x), 0, 1)
+
+
+CORRUPTIONS: Dict[str, Callable] = {
+    "identity": identity,
+    "gaussian_noise": gaussian_noise,
+    "shot_noise": shot_noise,
+    "impulse_noise": impulse_noise,
+    "speckle_noise": speckle_noise,
+    "gaussian_blur": gaussian_blur,
+    "zoom_blur": zoom_blur,
+    "contrast": contrast,
+    "brightness": brightness,
+    "saturate": saturate,
+    "elastic_transform": elastic_transform,
+}
+
+
+def distort(key, x, transform="identity", severity=1):
+    """Apply one corruption to an NHWC batch (Distortions.__call__,
+    hendrycks:146-152, batched + keyed)."""
+    return CORRUPTIONS[transform](key, x, severity)

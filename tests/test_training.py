@@ -1,0 +1,136 @@
+"""End-to-end train-step smoke tests on synthetic mosaics (no network),
+single-device and on a virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw2logit_tpu.data import SyntheticRawClassification, Loader
+from raw2logit_tpu.isp import ParametrizedProcessing
+from raw2logit_tpu.models import resnet_model
+from raw2logit_tpu.parallel import make_mesh, shard_batch
+from raw2logit_tpu.training import (TrainConfig, create_train_state,
+                                    make_eval_step, make_train_step)
+from raw2logit_tpu.training.core import make_optimizer
+
+H = W = 64
+
+
+def _setup(cfg, batch=8):
+    ds = SyntheticRawClassification(n=batch * 2, h=H, w=W, seed=1)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=H)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(batch)])
+    y = jnp.asarray([ds[i][1] for i in range(batch)], jnp.int32)
+    state, tx = create_train_state(cfg, processor, classifier, raw,
+                                   jax.random.key(0))
+    return processor, classifier, state, tx, raw, y
+
+
+def test_train_step_decreases_loss():
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    processor, classifier, state, tx, raw, y = _setup(cfg)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    key = jax.random.key(42)
+    _, m0 = step(state, raw, y, key)
+    s = state
+    for i in range(5):
+        s, m = step(s, raw, y, jax.random.fold_in(key, i))
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert int(s.step) == 5
+
+
+def test_freeze_classifier_keeps_params():
+    cfg = TrainConfig(task="classification", lr=1e-2,
+                      freeze_classifier=True)
+    processor, classifier, state, tx, raw, y = _setup(cfg)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    s2, _ = step(state, raw, y, jax.random.key(0))
+    # classifier unchanged
+    flat0 = jax.tree_util.tree_leaves(state.clf_params)
+    flat1 = jax.tree_util.tree_leaves(s2.clf_params)
+    assert all(np.array_equal(a, b) for a, b in zip(flat0, flat1))
+    # processor changed
+    assert not np.array_equal(np.asarray(state.proc_params["black_level"]),
+                              np.asarray(s2.proc_params["black_level"]))
+
+
+def test_adversarial_targeted_params():
+    cfg = TrainConfig(task="classification", lr=1e-2, adv_training=True,
+                      loss_weight=-1.0, adv_aux_loss="l2",
+                      adv_aux_weight=0.01, freeze_classifier=True,
+                      adv_parameters="gamma_correct")
+    processor, classifier, state, tx, raw, y = _setup(cfg)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    s2, m = step(state, raw, y, jax.random.key(0))
+    # only gamma_correct moves
+    assert not np.array_equal(np.asarray(state.proc_params["gamma_correct"]),
+                              np.asarray(s2.proc_params["gamma_correct"]))
+    for name in ["black_level", "white_balance", "colour_correction",
+                 "sharpening_filter", "gaussian_blur"]:
+        np.testing.assert_array_equal(np.asarray(state.proc_params[name]),
+                                      np.asarray(s2.proc_params[name]))
+    # reference processor untouched
+    np.testing.assert_array_equal(
+        np.asarray(state.ref_proc_params["gamma_correct"]),
+        np.asarray(s2.ref_proc_params["gamma_correct"]))
+    # adversarial BN freeze: processor batch stats must not update
+    np.testing.assert_array_equal(
+        np.asarray(state.proc_stats["batch_norm"]["mean"]),
+        np.asarray(s2.proc_stats["batch_norm"]["mean"]))
+    assert np.isfinite(float(m["loss_aux"]))
+
+
+def test_multi_device_data_parallel():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(8)
+    cfg = TrainConfig(task="classification", lr=1e-3, augmentation="weak")
+    processor, classifier, state, tx, raw, y = _setup(cfg, batch=16)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    raw_s, y_s = shard_batch(mesh, (np.asarray(raw), np.asarray(y)))
+    s2, m = step(state, raw_s, y_s, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    # params remain replicated / consistent
+    assert int(s2.step) == 1
+
+
+def test_eval_step():
+    cfg = TrainConfig(task="classification")
+    processor, classifier, state, tx, raw, y = _setup(cfg)
+    estep = make_eval_step(cfg, processor, classifier)
+    logits, mets = estep(state, raw, y, jax.random.key(0))
+    assert logits.shape == (8, 2)
+    assert 0.0 <= float(mets["accuracy"]) <= 1.0
+
+
+def test_segmentation_train_step():
+    from raw2logit_tpu.data import SyntheticRawSegmentation
+    from raw2logit_tpu.models import UNetPlusPlus
+    ds = SyntheticRawSegmentation(n=4, h=H, w=W, seed=3)
+    cfg = TrainConfig(task="segmentation", lr=1e-3, augmentation="weak")
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=H)
+    classifier = UNetPlusPlus(encoder_name="resnet34", encoder_depth=5,
+                              decoder_channels=(256, 128, 64, 32, 16),
+                              classes=1)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.stack([jnp.asarray(ds[i][1]) for i in range(4)])
+    state, tx = create_train_state(cfg, processor, classifier, raw,
+                                   jax.random.key(0))
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    s2, m = step(state, raw, y, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["iou_score"]) <= 1.0
+
+
+def test_loader_batches():
+    ds = SyntheticRawClassification(n=10, h=32, w=32)
+    loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    xs, ys = batches[0]
+    assert xs.shape == (4, 32, 32)
+    assert ys.shape == (4,)
