@@ -64,6 +64,7 @@ class ParametrizedProcessing(nn.Module):
     batch_norm_output: bool = True
     additive_layer: bool = False
     image_size: int = 256
+    use_pallas: bool = False  # fused-kernel fast path (no stage tracking)
 
     @nn.compact
     def __call__(self, raw, train: bool = True, taps=None):
@@ -96,6 +97,27 @@ class ParametrizedProcessing(nn.Module):
                 x = x + taps[name]
             stages[name] = x
             return x
+
+        if self.use_pallas and not self.track_stages and taps is None:
+            # fused Pallas kernel: one HBM read + one write for the whole
+            # pre-batchnorm chain (see pallas/fused_isp.py)
+            from raw2logit_tpu.pallas import fused_isp
+            rgb = fused_isp(raw, {
+                "black_level": bl, "debayer": k_debayer,
+                "white_balance": wb, "colour_correction": ccm,
+                "sharpening_filter": k_sharp, "gaussian_blur": k_blur,
+                "gamma_correct": gamma})
+            if self.additive_layer:
+                add = self.param(
+                    "additive_layer",
+                    lambda _: jnp.zeros(
+                        (1, self.image_size, self.image_size, 3),
+                        jnp.float32))
+                rgb = rgb + add
+            if self.batch_norm_output:
+                rgb = TorchBatchNorm(name="batch_norm")(
+                    rgb, use_running_average=not train)
+            return rgb, stages
 
         rgb = pack_raw(raw, black_level=bl, reduce_size=False)
         rgb = stage("demosaic", rgb)

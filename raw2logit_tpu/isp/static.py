@@ -48,7 +48,8 @@ def static_process(raw, black_level, wb, ccm,
                    sharp_radius=1.0, sharp_amount=1.0,
                    denoising="gaussian_denoising",
                    median_kernel_size=3, gaussian_sigma=0.5,
-                   fft_fraction=0.3, gamma=2.2):
+                   fft_fraction=0.3, weight_chambolle=0.01,
+                   weight_bregman=100.0, sigma_bilateral=0.6, gamma=2.2):
     """Full static pipeline, mirroring ``processing``
     (pipeline_numpy.py:70-141) stage for stage. Accepts (B, H, W) or (H, W).
     """
@@ -73,6 +74,15 @@ def static_process(raw, black_level, wb, ccm,
     elif denoising == "fft_denoising":
         img = fft_denoise(img, keep_fraction=fft_fraction,
                           row_cut=False, column_cut=True)
+    elif denoising == "tv_chambolle":
+        from raw2logit_tpu.ops.denoise_extra import denoise_tv_chambolle
+        img = denoise_tv_chambolle(img, weight=weight_chambolle)
+    elif denoising == "tv_bregman":
+        from raw2logit_tpu.ops.denoise_extra import denoise_tv_bregman
+        img = denoise_tv_bregman(img, weight=weight_bregman)
+    elif denoising == "bilateral":
+        from raw2logit_tpu.ops.denoise_extra import denoise_bilateral
+        img = denoise_bilateral(img, sigma_spatial=sigma_bilateral)
 
     img = jnp.clip(img, 0.0, 1.0)
     img = adjust_gamma(img, gamma=gamma)

@@ -176,3 +176,43 @@ def test_ssim_basics(rng):
     per_img = np.asarray(ssim(jnp.asarray(img), jnp.asarray(noisy),
                               size_average=False))
     assert per_img.shape == (2,)
+
+
+def test_tv_chambolle_denoises(rng):
+    from raw2logit_tpu.ops.denoise_extra import denoise_tv_chambolle
+    clean = np.tile(np.array([[0.2]]), (16, 16))
+    clean[4:12, 4:12] = 0.8
+    noisy = clean + rng.normal(0, 0.05, clean.shape)
+    img = jnp.asarray(noisy, jnp.float32)[..., None].repeat(3, -1)
+    out = np.asarray(denoise_tv_chambolle(img, weight=0.1, n_iter_max=50))
+
+    def tv(x):
+        return np.abs(np.diff(x, axis=0)).sum() + np.abs(np.diff(x, axis=1)).sum()
+
+    assert tv(out[..., 0]) < tv(noisy)           # total variation reduced
+    assert np.abs(out[..., 0] - clean).mean() < np.abs(noisy - clean).mean()
+
+
+def test_tv_bregman_denoises(rng):
+    from raw2logit_tpu.ops.denoise_extra import denoise_tv_bregman
+    clean = np.tile(np.array([[0.3]]), (16, 16))
+    clean[6:10, :] = 0.7
+    noisy = clean + rng.normal(0, 0.05, clean.shape)
+    img = jnp.asarray(noisy, jnp.float32)[..., None].repeat(3, -1)
+    out = np.asarray(denoise_tv_bregman(img, weight=20.0, max_iter=30))
+    assert np.abs(out[..., 0] - clean).mean() < np.abs(noisy - clean).mean()
+    assert np.all(np.isfinite(out))
+
+
+def test_bilateral_edge_preserving(rng):
+    from raw2logit_tpu.ops.denoise_extra import denoise_bilateral
+    clean = np.zeros((16, 16)); clean[:, 8:] = 1.0
+    noisy = clean + rng.normal(0, 0.03, clean.shape)
+    img = jnp.asarray(noisy, jnp.float32)[..., None].repeat(3, -1)
+    out = np.asarray(denoise_bilateral(img, sigma_color=0.1,
+                                       sigma_spatial=1.0))
+    # noise reduced on flat regions
+    assert out[..., 0][:, :6].std() < noisy[:, :6].std()
+    # edge magnitude preserved (not blurred away)
+    edge = out[..., 0][:, 8].mean() - out[..., 0][:, 7].mean()
+    assert edge > 0.7

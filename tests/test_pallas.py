@@ -62,3 +62,14 @@ def test_fused_custom_vjp_matches_autodiff(raw_batch):
         np.testing.assert_allclose(np.asarray(g_fused[1][k]),
                                    np.asarray(g_ref[1][k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_module_pallas_fast_path_matches_staged(raw_batch):
+    raw = jnp.asarray(raw_batch)
+    staged = ParametrizedProcessing(camera_parameters=CAM, use_pallas=False)
+    fused = ParametrizedProcessing(camera_parameters=CAM, use_pallas=True)
+    variables = staged.init(jax.random.key(0), raw)
+    out_staged, _ = staged.apply(variables, raw, train=False)
+    out_fused, _ = fused.apply(variables, raw, train=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_staged),
+                               atol=2e-5)
