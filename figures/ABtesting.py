@@ -50,8 +50,13 @@ def main(argv=None):
         f"{'AB' if args.mode.startswith('AB') else 'C'}table_"
         f"{args.dataset_name}_{args.augmentation}.json")
 
-    if args.mode in ("ABShowTable", "CShowTable"):
+    if args.mode == "ABShowTable":
         out = ab_show_table(table_path, metric=args.metric)
+        print(f"wrote {out}")
+        return
+    if args.mode == "CShowTable":
+        from raw2logit_tpu.evaluation.abtesting import c_show_table
+        out = c_show_table(table_path, metric=args.metric)
         print(f"wrote {out}")
         return
 

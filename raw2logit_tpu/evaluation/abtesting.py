@@ -61,9 +61,10 @@ class ABTesting:
     """
 
     def __init__(self, dataset_name, batch_size=32, data_root="data",
-                 severity=1):
+                 severity=1, image_size=256, **dataset_kwargs):
         self.dataset_name = dataset_name
-        self.dataset = get_dataset(dataset_name)
+        self.image_size = image_size
+        self.dataset = get_dataset(dataset_name, **dataset_kwargs)
         self.task = self.dataset.task
         self.batch_size = batch_size
         self.severity = severity
@@ -84,13 +85,13 @@ class ABTesting:
                                       encoder_depth=5,
                                       decoder_channels=(256, 128, 64, 32, 16),
                                       classes=1)
-        sample = jnp.zeros((1, 256, 256, 3), jnp.float32)
+        sample = jnp.zeros((1, self.image_size, self.image_size, 3),
+                           jnp.float32)
         variables = classifier.init(jax.random.key(0), sample, train=False)
         restored = ckpt.restore_like(checkpoint_path, {
-            "clf_params": variables["params"],
-            "clf_stats": variables.get("batch_stats", {})})
-        return classifier, {"params": restored["clf_params"],
-                            "batch_stats": restored["clf_stats"]}
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})})
+        return classifier, restored
 
     # -- evaluation core ---------------------------------------------------
 
@@ -141,21 +142,23 @@ class ABTesting:
     # -- tables -------------------------------------------------------------
 
     def ab_make_table(self, checkpoints, valid_indices, out_path,
-                      network="resnet18"):
+                      network="resnet18", test_grid=None):
         """Full pipeline-swap matrix: rows = train pipeline (one checkpoint
         each), cols = test pipeline (ABMakeTable, ABtesting.py:430-487).
 
         checkpoints: {train_pipeline_name: checkpoint_path}
+        test_grid: optional subset of pipeline triples for the columns.
         """
         table = {}
         grid = pipeline_grid()
+        cols = test_grid if test_grid is not None else grid
         for (db_t, sh_t, dn_t) in grid:
             tname = pipeline_name(db_t, sh_t, dn_t)
             if tname not in checkpoints:
                 continue
             classifier, variables = self.load_model(checkpoints[tname],
                                                     network)
-            for (db_e, sh_e, dn_e) in grid:
+            for (db_e, sh_e, dn_e) in cols:
                 ename = pipeline_name(db_e, sh_e, dn_e)
                 mets = self.evaluate(classifier, variables, valid_indices,
                                      db_e, sh_e, dn_e)
@@ -211,6 +214,42 @@ def ab_show_table(table_path, metric="accuracy_mean", out_png=None):
     ax.set_xticks(range(n), names, rotation=90, fontsize=6)
     ax.set_yticks(range(n), names, fontsize=6)
     ax.set_xlabel("test pipeline")
+    ax.set_ylabel("train pipeline")
+    fig.colorbar(im)
+    fig.tight_layout()
+    out_png = out_png or table_path.replace(".json", ".png")
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    return out_png
+
+
+def c_show_table(table_path, metric="accuracy", out_png=None):
+    """Render the corruption table: rows = pipelines, cols = corruptions,
+    one line per severity -> mean-over-severity heatmap + per-severity JSON
+    (CShowTable, ABtesting.py:703-797)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(table_path) as fh:
+        table = json.load(fh)
+    pipelines = sorted({k.split("__")[0] for k in table})
+    corruptions = [c for c in CORRUPTION_LIST
+                   if any(f"__{c}__" in k for k in table)]
+    mat = np.full((len(pipelines), len(corruptions)), np.nan)
+    for i, p in enumerate(pipelines):
+        for j, c in enumerate(corruptions):
+            vals = [v[metric] if metric in v else list(v.values())[0]
+                    for k, v in table.items()
+                    if k.startswith(f"{p}__{c}__")]
+            if vals:
+                mat[i, j] = float(np.mean(vals))
+    fig, ax = plt.subplots(figsize=(12, 8))
+    im = ax.imshow(mat, cmap="viridis")
+    ax.set_xticks(range(len(corruptions)), corruptions, rotation=90,
+                  fontsize=7)
+    ax.set_yticks(range(len(pipelines)), pipelines, fontsize=7)
+    ax.set_xlabel("corruption (mean over severities)")
     ax.set_ylabel("train pipeline")
     fig.colorbar(im)
     fig.tight_layout()

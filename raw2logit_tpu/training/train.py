@@ -24,6 +24,7 @@ from raw2logit_tpu.isp import (NNProcessing, ParametrizedProcessing,
                                RawToRGB, StaticPipeline)
 from raw2logit_tpu.models import UNetPlusPlus, resnet_model
 from raw2logit_tpu.parallel import make_mesh, shard_batch
+from raw2logit_tpu.parallel.mesh import replicated_sharding
 from raw2logit_tpu.tracking import Run, track_images
 from raw2logit_tpu.training import checkpoint as ckpt
 from raw2logit_tpu.training.core import (TrainConfig, create_train_state,
@@ -119,6 +120,18 @@ def build_parser():
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="task-model compute dtype (ISP always float32)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas ISP kernel (parametrized mode, "
+                        "no stage tracking)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few train steps "
+                        "into the run dir")
+    p.add_argument("--checkpoint_every_n_epochs", type=int, default=0,
+                   help="periodic checkpointing for failure recovery "
+                        "(0 = only final)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each fold from its latest periodic "
+                        "checkpoint if present")
     return p
 
 
@@ -158,7 +171,8 @@ def build_processor(args, dataset, image_size=256):
             camera_parameters=dataset.camera_parameters,
             track_stages=track, batch_norm_output=True,
             additive_layer=args.adv_training and args.adv_noise_layer,
-            image_size=image_size)
+            image_size=image_size,
+            use_pallas=getattr(args, "use_pallas", False) and not track)
     mosaic_mean = stats.get("mosaic_mean")
     mosaic_std = stats.get("mosaic_std")
     if mode == "neural_network":
@@ -287,25 +301,64 @@ def run_train(args):
         state, tx = create_train_state(cfg, processor, classifier,
                                        sample_raw, rng)
 
-        # resume sub-trees (processor_uri / classifier_uri)
+        # resume sub-trees (processor_uri / classifier_uri point at the
+        # per-component checkpoints written below)
         if args.processor_uri:
-            state = state.replace(proc_params=ckpt.restore_like(
-                args.processor_uri, state.proc_params))
+            restored = ckpt.restore_like(
+                args.processor_uri,
+                {"params": state.proc_params,
+                 "batch_stats": state.proc_stats})
+            state = state.replace(proc_params=restored["params"],
+                                  proc_stats=restored["batch_stats"])
         if args.classifier_uri:
-            state = state.replace(clf_params=ckpt.restore_like(
-                args.classifier_uri, state.clf_params))
+            restored = ckpt.restore_like(
+                args.classifier_uri,
+                {"params": state.clf_params,
+                 "batch_stats": state.clf_stats})
+            state = state.replace(clf_params=restored["params"],
+                                  clf_stats=restored["batch_stats"])
+        if args.processor_uri or args.classifier_uri:
+            state = jax.device_put(state, replicated_sharding(mesh))
 
         train_step = make_train_step(cfg, processor, classifier, tx)
         eval_step = make_eval_step(cfg, processor, classifier)
 
         key = jax.random.key(args.seed + k_iter)
         t0 = time.time()
-        for epoch in range(args.epochs):
+
+        start_epoch = 0
+        ckpt_root = os.path.join(run.dir, "checkpoints")
+        if args.resume and os.path.isdir(ckpt_root):
+            epochs_done = sorted(
+                int(d.split("_")[1]) for d in os.listdir(ckpt_root)
+                if d.startswith("epoch_"))
+            if epochs_done:
+                start_epoch = epochs_done[-1]
+                state = ckpt.restore_like(
+                    os.path.join(ckpt_root, f"epoch_{start_epoch:04d}"),
+                    state)
+                # orbax commits restored arrays to one device; re-replicate
+                # over the mesh so they compose with the sharded batch
+                state = jax.device_put(
+                    state, replicated_sharding(mesh))
+                print(f"[fold {k_iter}] resumed from epoch {start_epoch}")
+
+        # profile steps [1, 4) globally (skips the step-0 compile)
+        prof_active, prof_done, steps_done = False, not args.profile, 0
+        for epoch in range(start_epoch, args.epochs):
             epoch_metrics = []
             for bi, (raw, y) in enumerate(train_loader):
+                if not prof_done and not prof_active and steps_done >= 1:
+                    jax.profiler.start_trace(run.artifact_dir("profile"))
+                    prof_active = True
                 key, sub = jax.random.split(key)
                 state, mets = train_step(state, jnp.asarray(raw),
                                          jnp.asarray(y), sub)
+                steps_done += 1
+                if prof_active and steps_done >= 4:
+                    jax.block_until_ready(mets["loss"])
+                    jax.profiler.stop_trace()
+                    prof_active, prof_done = False, True
                 epoch_metrics.append(mets)
             train_mets = {f"train_{k}": float(np.mean([float(m[k])
                                                        for m in epoch_metrics]))
@@ -330,6 +383,15 @@ def run_train(args):
                 _track(args, cfg, processor, classifier, state, track_loader,
                        run.artifact_dir("results", f"epoch_{epoch + 1:04d}"))
 
+            if (args.checkpoint_every_n_epochs
+                    and (epoch + 1) % args.checkpoint_every_n_epochs == 0):
+                ckpt.save_state(state, os.path.join(
+                    ckpt_root, f"epoch_{epoch + 1:04d}"))
+
+        if prof_active:  # training ended inside the trace window
+            jax.profiler.stop_trace()
+            prof_done = True
+
         print(f"[fold {k_iter}] trained {args.epochs} epochs "
               f"in {time.time() - t0:.1f}s")
 
@@ -338,12 +400,18 @@ def run_train(args):
                    run.artifact_dir("results"))
 
         if args.log_model:
+            # per-component checkpoints: the fetch-by-URI resume targets
+            # (the reference's processor/classifier extraction from logged
+            # models, utils/base.py:249-270)
+            if state.proc_params:
+                ckpt.save_state(
+                    {"params": state.proc_params,
+                     "batch_stats": state.proc_stats},
+                    os.path.join(run.dir, "checkpoints", "processor"))
             ckpt.save_state(
-                {"proc_params": state.proc_params,
-                 "proc_stats": state.proc_stats,
-                 "clf_params": state.clf_params,
-                 "clf_stats": state.clf_stats},
-                os.path.join(run.dir, "checkpoints", "final"))
+                {"params": state.clf_params,
+                 "batch_stats": state.clf_stats},
+                os.path.join(run.dir, "checkpoints", "classifier"))
 
         results.append({"state": state, "run": run,
                         "valid_indices": valid_indices})

@@ -44,3 +44,14 @@ def set_random_seed(seed):
     np.random.seed(seed)
     import random
     random.seed(seed)
+
+
+def normalize(img):
+    """Per-channel standardization returning (img, mu, sigma)
+    (utils/base.py:85-114 semantics, HWC)."""
+    img = np.asarray(img, float)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    mu = img.mean(axis=(0, 1))
+    sigma = img.std(axis=(0, 1))
+    return (img - mu) / (sigma + 1e-4), mu, sigma
