@@ -99,27 +99,37 @@ def task_loss_fn(cfg: TrainConfig) -> Callable:
 
 def create_train_state(cfg, processor, classifier, sample_raw, rng,
                        processor_variables=None, classifier_variables=None):
-    """Initialize params/batch-stats for both modules and the optimizer."""
-    k1, k2 = jax.random.split(rng)
-    if processor_variables is None:
-        processor_variables = (processor.init(k1, sample_raw, train=False)
-                               if processor is not None else {})
+    """Initialize params/batch-stats for both modules and the optimizer.
+
+    The whole initialization is ONE jitted program: under remote-compile
+    TPU backends, eager flax init would pay a compile round-trip per op.
+    """
+    def _init(rng):
+        k1, k2 = jax.random.split(rng)
+        if processor_variables is not None:
+            pvars = processor_variables
+        elif processor is not None:
+            pvars = processor.init(k1, sample_raw, train=False)
+        else:
+            pvars = {}
+        if classifier_variables is not None:
+            cvars = classifier_variables
+        else:
+            if processor is not None:
+                rgb = processor.apply(pvars, sample_raw, train=False)[0]
+            else:
+                rgb = sample_raw
+            cvars = classifier.init(k2, rgb, train=False)
+        return pvars, cvars
+
+    processor_variables, classifier_variables = jax.jit(_init)(rng)
     proc_params = processor_variables.get("params", {})
     proc_stats = processor_variables.get("batch_stats", {})
-
-    if classifier_variables is None:
-        if processor is not None:
-            rgb = processor.apply(
-                {"params": proc_params, "batch_stats": proc_stats},
-                sample_raw, train=False)[0]
-        else:
-            rgb = sample_raw
-        classifier_variables = classifier.init(k2, rgb, train=False)
     clf_params = classifier_variables.get("params", {})
     clf_stats = classifier_variables.get("batch_stats", {})
 
     tx = make_optimizer(cfg, proc_params, clf_params)
-    opt_state = tx.init((proc_params, clf_params))
+    opt_state = jax.jit(tx.init)((proc_params, clf_params))
 
     ref_params = ref_stats = None
     if cfg.adv_training:
