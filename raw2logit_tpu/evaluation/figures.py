@@ -55,3 +55,34 @@ def loss_scatter(run_dir, out_path=None):
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def show_img(img, title="no_title", out_path=None, bins=300):
+    """Image + per-channel histogram figure (pipeline_numpy.py:247-303),
+    saved instead of plt.show() for headless use."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    fig = plt.figure(figsize=(12, 6))
+    ax = fig.add_subplot(121)
+    ax.imshow(np.clip(img, 0, 1) if img.ndim == 3 else img,
+              cmap=None if img.ndim == 3 else "gray")
+    if title != "no_title":
+        ax.set_title(title)
+    ax2 = fig.add_subplot(122)
+    if img.ndim == 3:
+        for c, color in enumerate(["red", "green", "blue"][:img.shape[-1]]):
+            ax2.hist(img[..., c].ravel(), bins=bins, label=f"Channel{c+1}",
+                     color=color, alpha=0.5)
+        ax2.legend()
+    else:
+        ax2.hist(img.ravel(), bins=bins)
+    ax2.set_xlabel("Intensities")
+    ax2.set_ylabel("Counts")
+    out_path = out_path or "results/show_img.png"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

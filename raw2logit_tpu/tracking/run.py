@@ -114,3 +114,30 @@ def find_run(experiment_name, run_name, root="results/runs"):
     if not os.path.isdir(d):
         raise FileNotFoundError(f"run not found: {d}")
     return Run(experiment_name, run_name, root=root)
+
+
+def get_model_by_name(experiment_name, run_name, root="results/runs"):
+    """Locate a run's per-component checkpoints + state dict by names
+    (the local equivalent of get_mlflow_model_by_name,
+    utils/base.py:190-229).
+
+    Returns (state_dict, {"processor": path-or-None, "classifier": path}).
+    """
+    run = find_run(experiment_name, run_name, root=root)
+    sd_path = os.path.join(run.dir, "state_dict.json")
+    state_dict = {}
+    if os.path.exists(sd_path):
+        with open(sd_path) as fh:
+            state_dict = json.load(fh)
+    ckpts = {}
+    for comp in ("processor", "classifier"):
+        path = os.path.join(run.dir, "checkpoints", comp)
+        ckpts[comp] = path if os.path.isdir(path) else None
+    return state_dict, ckpts
+
+
+def display_run_info(run):
+    """Print where a run's artifacts live (display_mlflow_run_info analog,
+    utils/base.py:273-289)."""
+    print(f"experiment '{run.experiment_name}' > run '{run.run_name}'")
+    print(f"artifacts at {os.path.abspath(run.dir)}")

@@ -85,3 +85,21 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(tree)
     b = jax.tree_util.tree_leaves(restored)
     assert all(np.array_equal(x, np.asarray(yv)) for x, yv in zip(a, b))
+
+
+def test_get_model_by_name(tmp_path):
+    from raw2logit_tpu.tracking.run import get_model_by_name
+    run = Run("e2", "r2", root=str(tmp_path))
+    run.log_state_dict({"valid_indices": [1, 2]})
+    os.makedirs(os.path.join(run.dir, "checkpoints", "classifier"))
+    sd, ckpts = get_model_by_name("e2", "r2", root=str(tmp_path))
+    assert sd["valid_indices"] == [1, 2]
+    assert ckpts["classifier"] is not None
+    assert ckpts["processor"] is None
+
+
+def test_show_img(tmp_path, rng):
+    from raw2logit_tpu.evaluation.figures import show_img
+    out = show_img(rng.uniform(size=(32, 32, 3)),
+                   out_path=str(tmp_path / "x.png"))
+    assert os.path.exists(out)
