@@ -171,3 +171,19 @@ def test_batchnorm_torch_semantics(rng):
                                0.1 * batch_mean, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
                                0.9 * 1.0 + 0.1 * batch_var, rtol=1e-4)
+
+
+def test_nn_processing_shapes(raw_batch):
+    from raw2logit_tpu.isp import NNProcessing
+    proc = NNProcessing(normalize_mosaic_mean=[0.5663, 0.1401, 0.0731],
+                        normalize_mosaic_std=[0.097, 0.0423, 0.008])
+    raw = jnp.asarray(raw_batch)
+    variables = proc.init(jax.random.key(0), raw, train=False)
+    (rgb, stages), mut = proc.apply(variables, raw, train=True,
+                                    mutable=["batch_stats"])
+    # half-resolution 3-channel output (reference NNProcessing packs
+    # reduce_size=True then runs the U-Net++ at that size)
+    assert rgb.shape == (raw.shape[0], raw.shape[1] // 2,
+                         raw.shape[2] // 2, 3)
+    assert list(stages) == ["demosaic", "rgb"]
+    assert np.all(np.isfinite(np.asarray(rgb)))
