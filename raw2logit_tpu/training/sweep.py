@@ -1,0 +1,90 @@
+"""Experiment-grid sweep driver.
+
+Replaces the reference's sequential bash loops (figures/train.sh:52-81:
+12 static pipelines x 3 augmentations x datasets x folds) with a manifest-
+driven runner. Each grid point is an independent process — the natural
+DCN-parallel dimension (run shards of the grid on separate hosts/slices via
+--shard i/n). Emits checkpoints.json for the A/B harness.
+"""
+
+import argparse
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+
+def build_grid(datasets, augmentations, epochs, batch_size, lr, n_splits,
+               extra_flags=()):
+    from raw2logit_tpu.evaluation.abtesting import pipeline_grid, pipeline_name
+    jobs = []
+    for ds in datasets:
+        for aug in augmentations:
+            for (db, sh, dn) in pipeline_grid():
+                name = pipeline_name(db, sh, dn)
+                run_name = f"{ds}_{aug}_{name}"
+                argv = ["--dataset", ds, "--processing_mode", "static",
+                        "--sp_debayer", db, "--sp_sharpening", sh,
+                        "--sp_denoising", dn,
+                        "--augmentation", aug,
+                        "--epochs", str(epochs),
+                        "--batch_size", str(batch_size),
+                        "--lr", str(lr), "--n_splits", str(n_splits),
+                        "--experiment_name", f"sweep_{ds}",
+                        "--run_name", run_name, *extra_flags]
+                jobs.append({"run_name": run_name, "pipeline": name,
+                             "dataset": ds, "augmentation": aug,
+                             "argv": argv})
+    return jobs
+
+
+def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
+              python=sys.executable):
+    manifest = {"jobs": [], "checkpoints": {}}
+    for i, job in enumerate(jobs):
+        if i % n_shards != shard:
+            continue
+        cmd = [python, "train.py", *job["argv"]]
+        print(f"[{i + 1}/{len(jobs)}] {' '.join(cmd)}")
+        if dry_run:
+            continue
+        rc = subprocess.run(cmd).returncode
+        job = dict(job, returncode=rc)
+        manifest["jobs"].append(job)
+        if rc == 0:
+            ckpt = os.path.join(
+                "results", "runs", f"sweep_{job['dataset']}",
+                job["run_name"], f"{job['run_name']}_0", "checkpoints",
+                "classifier")
+            manifest["checkpoints"][job["pipeline"]] = ckpt
+    return manifest
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="12-pipeline training sweep")
+    p.add_argument("--datasets", nargs="+", default=["Microscopy"])
+    p.add_argument("--augmentations", nargs="+", default=["weak"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--n_splits", type=int, default=5)
+    p.add_argument("--shard", type=int, default=0,
+                   help="this host's shard of the grid")
+    p.add_argument("--n_shards", type=int, default=1)
+    p.add_argument("--dry_run", action="store_true")
+    p.add_argument("--out", default="results/sweep_manifest.json")
+    args = p.parse_args(argv)
+
+    jobs = build_grid(args.datasets, args.augmentations, args.epochs,
+                      args.batch_size, args.lr, args.n_splits)
+    manifest = run_sweep(jobs, shard=args.shard, n_shards=args.n_shards,
+                         dry_run=args.dry_run)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    print(f"manifest -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
