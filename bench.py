@@ -22,8 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure_jax(batch=64, image_size=256, steps=20, n_classes=9,
-                warmup=3):
+def measure_jax(batch=None, image_size=None, steps=None, n_classes=9,
+                warmup=3, dtype=None):
+    import os as _os
+    batch = batch or int(_os.environ.get("BENCH_BATCH", 64))
+    image_size = image_size or int(_os.environ.get("BENCH_SIZE", 256))
+    steps = steps or int(_os.environ.get("BENCH_STEPS", 20))
+    dtype = dtype or _os.environ.get("BENCH_DTYPE", "bfloat16")
     from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
     from raw2logit_tpu.isp import ParametrizedProcessing
     from raw2logit_tpu.models import resnet_model
@@ -32,8 +37,9 @@ def measure_jax(batch=64, image_size=256, steps=20, n_classes=9,
 
     processor = ParametrizedProcessing(
         camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=image_size)
-    classifier = resnet_model("resnet18", fc_out_features=n_classes,
-                              dtype=jnp.bfloat16)
+    classifier = resnet_model(
+        "resnet18", fc_out_features=n_classes,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     cfg = TrainConfig(task="classification", lr=1e-5)
 
     rng = np.random.default_rng(0)

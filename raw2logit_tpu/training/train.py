@@ -69,6 +69,9 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="Microscopy",
                    choices=["Drone", "DroneSegmentation", "Microscopy",
                             "SyntheticMicroscopy", "SyntheticDrone"])
+    p.add_argument("--I_ratio", type=float, default=1.0,
+                   help="exposure-intensity variant of the dataset "
+                        "(dataset.py:217,301)")
     p.add_argument("--n_splits", type=int, default=1)
     p.add_argument("--train_size", type=float, default=0.8)
 
@@ -201,7 +204,10 @@ def build_classifier(args, dataset, dtype):
 def run_train(args):
     print(args)
     training_mode = "adversarial" if args.adv_training else "default"
-    dataset = get_dataset(args.dataset)
+    if args.dataset.startswith("Synthetic"):
+        dataset = get_dataset(args.dataset)
+    else:
+        dataset = get_dataset(args.dataset, I_ratio=args.I_ratio)
     print(f"dataset: {type(dataset).__name__}[{len(dataset)}]")
     print(f"task: {dataset.task}")
     print(f"mode: {training_mode} training")
