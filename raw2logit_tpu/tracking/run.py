@@ -116,14 +116,20 @@ def find_run(experiment_name, run_name, root="results/runs"):
     return Run(experiment_name, run_name, root=root)
 
 
-def get_model_by_name(experiment_name, run_name, root="results/runs"):
+def get_model_by_name(experiment_name, run_name, root="results/runs",
+                      fold=0):
     """Locate a run's per-component checkpoints + state dict by names
     (the local equivalent of get_mlflow_model_by_name,
-    utils/base.py:190-229).
+    utils/base.py:190-229). Checkpoints live in the per-fold CHILD run
+    (run_name_<k>); pass the parent name + fold, or the child name directly.
 
     Returns (state_dict, {"processor": path-or-None, "classifier": path}).
     """
     run = find_run(experiment_name, run_name, root=root)
+    child = os.path.join(run.dir, f"{run_name}_{fold}")
+    if (not os.path.isdir(os.path.join(run.dir, "checkpoints"))
+            and os.path.isdir(child)):
+        run.dir = child
     sd_path = os.path.join(run.dir, "state_dict.json")
     state_dict = {}
     if os.path.exists(sd_path):

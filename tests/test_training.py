@@ -134,3 +134,37 @@ def test_loader_batches():
     xs, ys = batches[0]
     assert xs.shape == (4, 32, 32)
     assert ys.shape == (4,)
+
+
+def test_serving_predictor_roundtrip(tmp_path, monkeypatch):
+    """Train one tiny run via run_train, then serve it with Predictor."""
+    import os
+    from raw2logit_tpu.serving import Predictor
+    from raw2logit_tpu.training.train import build_parser, run_train
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+            "parametrized", "--epochs", "1", "--batch_size", "4",
+            "--n_splits", "1", "--test_run", "--experiment_name", "serve",
+            "--run_name", "s0", "--lr", "1e-3"]
+    run_train(build_parser().parse_args(argv))
+
+    pred = Predictor.from_run("serve", "s0",
+                              dataset_name="SyntheticMicroscopy",
+                              image_size=256, use_pallas=False)
+    ds = __import__("raw2logit_tpu.data", fromlist=["get_dataset"]) \
+        .get_dataset("SyntheticMicroscopy")
+    raw = np.stack([ds[i][0] for i in range(2)])
+    out = np.asarray(pred(raw))
+    assert out.shape == (2, 2)
+    assert np.all(np.isfinite(out))
+
+
+def test_sweep_grid_and_dry_run(capsys):
+    from raw2logit_tpu.training.sweep import build_grid, run_sweep
+    jobs = build_grid(["SyntheticMicroscopy"], ["weak"], 1, 4, 1e-5, 1)
+    assert len(jobs) == 12
+    manifest = run_sweep(jobs, shard=0, n_shards=4, dry_run=True)
+    printed = capsys.readouterr().out
+    assert printed.count("train.py") == 3  # 12 jobs / 4 shards
+    assert manifest["jobs"] == []
