@@ -13,8 +13,6 @@ LitModel.forward, model.py:79-81), random draws are per-batch.
 Conventions: input is (B, H, W, C) or (B, H, W); H is axis 1, W is axis 2.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ per-image on CPU through DataLoader workers (ABtesting.py:200-211).
 import itertools
 import json
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ we run it batched on-device (or on host CPU via jax cpu backend), so
 """
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 

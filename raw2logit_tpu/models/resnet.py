@@ -11,7 +11,7 @@ the 7x7/3x3 convs on the MXU at full rate; params stay float32).
 
 import os
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

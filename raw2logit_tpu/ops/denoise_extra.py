@@ -11,8 +11,6 @@ All functions take (..., H, W, C) float images (multichannel applied
 per channel, matching skimage multichannel=True).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

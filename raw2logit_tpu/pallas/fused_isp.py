@@ -20,8 +20,6 @@ to 1e-5). A hand-written backward kernel is a later optimization.
 """
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,6 @@ this is the deployment-facing equivalent.
 import argparse
 import json
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

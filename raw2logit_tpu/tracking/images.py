@@ -9,8 +9,6 @@ reference processor (adversarial drift visualization, model.py:249-252).
 
 import os
 from collections import defaultdict
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,6 @@ style resume loads just that sub-tree from a checkpoint path.
 """
 
 import os
-from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp

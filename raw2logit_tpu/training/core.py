@@ -17,8 +17,7 @@ pl.Trainer loop (train.py:361-378), re-designed TPU-first:
 """
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax

@@ -8,7 +8,6 @@ DCN-parallel dimension (run shards of the grid on separate hosts/slices via
 """
 
 import argparse
-import itertools
 import json
 import os
 import subprocess

@@ -12,8 +12,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +21,7 @@ from raw2logit_tpu.data.datasets import DATASET_STATS
 from raw2logit_tpu.isp import (NNProcessing, ParametrizedProcessing,
                                RawToRGB, StaticPipeline)
 from raw2logit_tpu.models import UNetPlusPlus, resnet_model
-from raw2logit_tpu.parallel import make_mesh, shard_batch
+from raw2logit_tpu.parallel import make_mesh
 from raw2logit_tpu.parallel.mesh import replicated_sharding
 from raw2logit_tpu.tracking import Run, track_images
 from raw2logit_tpu.training import checkpoint as ckpt
