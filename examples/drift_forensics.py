@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Drift forensics in miniature (offline, synthetic): adversarially optimize
+the ISP parameters against a frozen classifier, SSIM-regularized toward the
+default pipeline, and dump per-stage diffs.
+
+Reproduces the reference's failure-mode search (README.md:100-118,
+train.py:241-273). Run CPU-only:
+  env -u PALLAS_AXON_POOL_IPS -u PYTHONPATH JAX_PLATFORMS=cpu \
+      python examples/drift_forensics.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+
+def main():
+    from raw2logit_tpu.training.train import build_parser, run_train
+
+    # 1. pretrain a classifier on the default parametrized pipeline
+    pre = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+           "parametrized", "--epochs", "2", "--batch_size", "8",
+           "--n_splits", "1", "--lr", "1e-3",
+           "--experiment_name", "forensics", "--run_name", "pretrain"]
+    results = run_train(build_parser().parse_args(pre))
+    clf_ckpt = os.path.join(results[0]["run"].dir, "checkpoints",
+                            "classifier")
+
+    # 2. adversarial ISP search against the frozen classifier
+    adv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+           "parametrized", "--adv_training", "--freeze_classifier",
+           "--classifier_uri", clf_ckpt,
+           "--adv_aux_loss", "ssim", "--adv_aux_weight", "0.3",
+           "--adv_noise_layer", "--adv_parameters", "all",
+           "--adv_track_differences", "--track_processing",
+           "--track_processing_gradients",
+           "--epochs", "3", "--batch_size", "8", "--n_splits", "1",
+           "--lr", "1e-2", "--experiment_name", "forensics",
+           "--run_name", "adv"]
+    results = run_train(build_parser().parse_args(adv))
+    run = results[0]["run"]
+
+    metrics = run.read_metrics()
+    accs = [m["val_accuracy"] for m in metrics if "val_accuracy" in m]
+    print(f"accuracy under adversarial ISP drift: {accs}")
+    print(f"stage diffs + gradients in {run.dir}/results/")
+
+
+if __name__ == "__main__":
+    main()
