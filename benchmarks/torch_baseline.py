@@ -99,8 +99,10 @@ def _build_torch_models(n_classes=9):
     return ISP(), ResNet18(n_classes)
 
 
-def measure_torch_cpu(batch=4, image_size=256, steps=3, n_classes=9):
-    """imgs/sec of the joint ISP+ResNet18 train step, torch CPU."""
+def measure_torch_cpu(batch=4, image_size=256, steps=3, n_classes=9,
+                      train=True):
+    """imgs/sec of the joint ISP+ResNet18 step, torch CPU.
+    train=True: forward+backward+Adam; train=False: inference forward."""
     import torch
     torch.manual_seed(0)
     isp, net = _build_torch_models(n_classes)
@@ -110,11 +112,19 @@ def measure_torch_cpu(batch=4, image_size=256, steps=3, n_classes=9):
     raw = torch.rand(batch, image_size, image_size)
     y = torch.randint(0, n_classes, (batch,))
 
-    def one_step():
-        opt.zero_grad()
-        loss = loss_fn(net(isp(raw)), y)
-        loss.backward()
-        opt.step()
+    if train:
+        def one_step():
+            opt.zero_grad()
+            loss = loss_fn(net(isp(raw)), y)
+            loss.backward()
+            opt.step()
+    else:
+        isp.eval()
+        net.eval()
+
+        def one_step():
+            with torch.no_grad():
+                net(isp(raw))
 
     one_step()  # warmup
     t0 = time.perf_counter()
