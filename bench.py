@@ -123,6 +123,9 @@ def main():
     if mode in ("auto", "train"):
         value = _run_child("train")
     if value is None and mode in ("auto", "infer"):
+        # the killed train child leaves a stale single-tenant TPU grant;
+        # give the relay time to release it before the fallback claims
+        time.sleep(int(os.environ.get("BENCH_GRANT_GRACE", 90)))
         used_mode = "infer"
         value = _run_child("infer")
     if value is None:
