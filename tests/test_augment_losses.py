@@ -132,3 +132,26 @@ def test_corruption_severity_monotone_noise(rng):
     d5 = np.abs(np.asarray(distort(jax.random.key(0), x, "gaussian_noise", 5))
                 - np.asarray(x)).mean()
     assert d5 > d1
+
+
+def test_strong_augment_rotation_preserves_mask_alignment(img_batch):
+    """Force the rotation branch and confirm image/mask stay aligned."""
+    from raw2logit_tpu.augment import _rotate
+    mask = jnp.asarray((np.asarray(img_batch)[..., 0] > 0.5), jnp.float32)
+    img_r = _rotate(img_batch, 37.0)
+    mask_r = _rotate(mask, 37.0)
+    got = np.asarray(img_r[..., 0] > 0.5).astype(np.float32)
+    want = np.asarray(mask_r)
+    # nearest-neighbour rotation of a thresholded image == threshold of
+    # rotated image
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_adjust_sharpness_bounds(img_batch):
+    from raw2logit_tpu.augment import _adjust_sharpness
+    out = np.asarray(_adjust_sharpness(img_batch, factor=0.5))
+    assert out.shape == img_batch.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # border pixels keep original values (torchvision semantics)
+    np.testing.assert_allclose(out[:, 0, :, :], np.asarray(img_batch)[:, 0],
+                               atol=1e-6)
