@@ -44,7 +44,7 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
 
     processor = ParametrizedProcessing(
         camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=image_size,
-        use_pallas=os.environ.get("BENCH_ISP", "staged") == "pallas")
+        use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
     classifier = resnet_model(
         "resnet18", fc_out_features=n_classes,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
