@@ -234,3 +234,117 @@ def distort(key, x, transform="identity", severity=1):
     """Apply one corruption to an NHWC batch (Distortions.__call__,
     hendrycks:146-152, batched + keyed)."""
     return CORRUPTIONS[transform](key, x, severity)
+
+
+# --- extras beyond the reference's 11-corruption battery -------------------
+# The reference carries more Hendrycks transforms but they are unused,
+# wand/cv2-bound, and hardcoded to CIFAR's 32px (hendrycks:192-427). These
+# four are re-derived for arbitrary resolution and keyed PRNG.
+
+def _disk_kernel(radius, alias_blur=0.1):
+    L = np.arange(-max(8, radius), max(8, radius) + 1)
+    xx, yy = np.meshgrid(L, L)
+    disk = ((xx ** 2 + yy ** 2) <= radius ** 2).astype(np.float32)
+    disk /= disk.sum()
+    imp = jnp.asarray(disk)
+    return np.asarray(gaussian_filter_2d(imp, max(alias_blur, 1e-3),
+                                         pad_mode="symmetric",
+                                         truncate=1.0))
+
+
+def defocus_blur(key, x, severity=1):
+    """Disk-kernel blur (hendrycks:210-219 constants)."""
+    del key
+    radius, alias = [(0.3, 0.4), (0.4, 0.5), (0.5, 0.6), (1, 0.2),
+                     (1.5, 0.1)][severity - 1]
+    k = jnp.asarray(_disk_kernel(radius, alias))
+    from raw2logit_tpu.ops.filters import conv2d_single
+    planes = [conv2d_single(x[..., c], k, pad_mode="symmetric")
+              for c in range(x.shape[-1])]
+    return jnp.clip(jnp.stack(planes, axis=-1), 0, 1)
+
+
+def pixelate(key, x, severity=1):
+    """Box-downsample then upsample (hendrycks:388-394, scaled to the
+    actual resolution instead of CIFAR's 32)."""
+    del key
+    c = [0.95, 0.9, 0.85, 0.75, 0.65][severity - 1]
+    h, w = x.shape[1], x.shape[2]
+    small = jax.image.resize(x, (x.shape[0], max(1, int(h * c)),
+                                 max(1, int(w * c)), x.shape[3]),
+                             method="linear")
+    return jnp.clip(jax.image.resize(small, x.shape, method="nearest"), 0, 1)
+
+
+def jpeg_compression(key, x, severity=1):
+    """Actual JPEG round-trip via PIL (host-side, like the reference's
+    PIL save/open, hendrycks:378-385)."""
+    del key
+    from io import BytesIO
+    from PIL import Image as PILImage
+    q = [80, 65, 58, 50, 40][severity - 1]
+    out = []
+    for img in np.asarray(jnp.clip(x, 0, 1)):
+        buf = BytesIO()
+        PILImage.fromarray((img * 255).astype(np.uint8)).save(
+            buf, "JPEG", quality=q)
+        out.append(np.asarray(PILImage.open(buf), np.float32) / 255.0)
+    return jnp.asarray(np.stack(out))
+
+
+def _plasma_fractal(key, mapsize, wibbledecay):
+    """Diamond-square fractal heightmap (hendrycks:85-120), keyed."""
+    maparray = np.zeros((mapsize, mapsize), np.float64)
+    maparray[0, 0] = 0
+    stepsize = mapsize
+    wibble = 100.0
+    rng = np.random.default_rng(np.asarray(
+        jax.random.key_data(key)).ravel()[:2])
+
+    def wibbledmean(array):
+        return array / 4 + wibble * rng.uniform(-wibble, wibble,
+                                                array.shape) / wibble
+
+    while stepsize >= 2:
+        # fill squares
+        corner = maparray[0:mapsize:stepsize, 0:mapsize:stepsize]
+        drsum = corner + np.roll(corner, -1, 0) + np.roll(corner, -1, 1) + \
+            np.roll(np.roll(corner, -1, 0), -1, 1)
+        maparray[stepsize // 2:mapsize:stepsize,
+                 stepsize // 2:mapsize:stepsize] = wibbledmean(drsum)
+        # fill diamonds
+        drgrid = maparray[stepsize // 2:mapsize:stepsize,
+                          stepsize // 2:mapsize:stepsize]
+        ulgrid = maparray[0:mapsize:stepsize, 0:mapsize:stepsize]
+        ltsum = drgrid + np.roll(drgrid, 1, 0) + ulgrid + \
+            np.roll(ulgrid, -1, 1)
+        maparray[0:mapsize:stepsize,
+                 stepsize // 2:mapsize:stepsize] = wibbledmean(ltsum)
+        ttsum = drgrid + np.roll(drgrid, 1, 1) + ulgrid + \
+            np.roll(ulgrid, -1, 0)
+        maparray[stepsize // 2:mapsize:stepsize,
+                 0:mapsize:stepsize] = wibbledmean(ttsum)
+        stepsize //= 2
+        wibble /= wibbledecay
+    maparray -= maparray.min()
+    return maparray / maparray.max()
+
+
+def fog(key, x, severity=1):
+    """Plasma-fractal fog overlay (hendrycks:251-255 constants), fractal
+    sized to the actual image."""
+    c = [(0.2, 3), (0.5, 3), (0.75, 2.5), (1, 2), (1.5, 1.75)][severity - 1]
+    h, w = x.shape[1], x.shape[2]
+    mapsize = 1 << int(np.ceil(np.log2(max(h, w))))
+    fract = _plasma_fractal(key, mapsize, c[1])[:h, :w]
+    max_val = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    out = x + c[0] * jnp.asarray(fract, jnp.float32)[None, :, :, None]
+    return jnp.clip(out * max_val / (max_val + c[0]), 0, 1)
+
+
+CORRUPTIONS.update({
+    "defocus_blur": defocus_blur,
+    "pixelate": pixelate,
+    "jpeg_compression": jpeg_compression,
+    "fog": fog,
+})

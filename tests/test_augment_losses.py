@@ -155,3 +155,14 @@ def test_adjust_sharpness_bounds(img_batch):
     # border pixels keep original values (torchvision semantics)
     np.testing.assert_allclose(out[:, 0, :, :], np.asarray(img_batch)[:, 0],
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["defocus_blur", "pixelate",
+                                  "jpeg_compression", "fog"])
+def test_extra_corruptions_bounded(name, rng):
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    out = np.asarray(distort(jax.random.key(1), x, name, 3))
+    assert out.shape == x.shape
+    assert np.all(out >= -1e-6) and np.all(out <= 1 + 1e-6)
+    assert np.all(np.isfinite(out))
+    assert np.abs(out - np.asarray(x)).mean() > 1e-4  # actually corrupts
