@@ -60,9 +60,11 @@ def main(argv=None):
         print(f"wrote {out}")
         return
 
-    assert args.checkpoints_json, "--checkpoints_json required"
-    with open(args.checkpoints_json) as fh:
-        checkpoints = json.load(fh)
+    checkpoints = {}
+    if args.mode in ("ABMakeTable", "CMakeTable"):
+        assert args.checkpoints_json, "--checkpoints_json required"
+        with open(args.checkpoints_json) as fh:
+            checkpoints = json.load(fh)
     valid_indices = None
     if args.state_dict:
         with open(args.state_dict) as fh:
@@ -90,7 +92,8 @@ def _show_images(args, ab, valid_indices):
     import jax.numpy as jnp
     import numpy as np
     from raw2logit_tpu.evaluation.abtesting import pipeline_grid, pipeline_name
-    from raw2logit_tpu.evaluation.corruptions import CORRUPTION_LIST, distort
+    from raw2logit_tpu.evaluation.abtesting import CORRUPTION_LIST
+    from raw2logit_tpu.evaluation.corruptions import distort
     from raw2logit_tpu.isp import StaticPipeline
     from raw2logit_tpu.tracking.images import save_image_grid
 
