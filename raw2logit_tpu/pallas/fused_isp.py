@@ -220,6 +220,13 @@ def _fwd(raw, params):
 
 def _bwd(res, g):
     raw, params = res
+    import os
+    if os.environ.get("R2L_FUSED_BWD", "pallas") == "pallas":
+        # hand-written recompute backward kernel (fused_isp_bwd.py)
+        from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
+        return fused_isp_bwd_pallas(raw, params, g,
+                                    interpret=not _is_tpu())
+    # fallback: differentiate the numerically-identical jnp composition
     _, vjp = jax.vjp(fused_isp_reference, raw, params)
     return vjp(g)
 
