@@ -239,7 +239,10 @@ def distort(key, x, transform="identity", severity=1):
 # --- extras beyond the reference's 11-corruption battery -------------------
 # The reference carries more Hendrycks transforms but they are unused,
 # wand/cv2-bound, and hardcoded to CIFAR's 32px (hendrycks:192-427). These
-# four are re-derived for arbitrary resolution and keyed PRNG.
+# four are re-derived for arbitrary resolution and keyed PRNG. NOTE:
+# jpeg_compression and fog are HOST-side (PIL / numpy fractal) and must be
+# called eagerly — they are intentionally not in CORRUPTION_LIST (the jitted
+# C-battery); defocus_blur and pixelate are jit-safe.
 
 def _disk_kernel(radius, alias_blur=0.1):
     L = np.arange(-max(8, radius), max(8, radius) + 1)
