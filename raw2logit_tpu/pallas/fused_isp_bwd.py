@@ -81,31 +81,50 @@ def _conv_full(x, k_ref, ksize, base=(0, 0)):
 
 def _fold1_reflect(gp):
     """Adjoint of 1-px torch-'reflect' pad: gp (H+2, W+2) -> (H, W).
-    Forward pads rows then cols; adjoint folds cols then rows."""
-    # cols: pad[:,0] = x[:,2-1?]: pad1 left col = x col 1 -> fold into col 1
+    Forward pads rows then cols; adjoint folds cols then rows. Built from
+    slices + concatenate only (Mosaic has no scatter-add)."""
     g = gp[:, 1:-1]
-    g = g.at[:, 1].add(gp[:, 0])
-    g = g.at[:, -2].add(gp[:, -1])
-    # rows
+    g = jnp.concatenate([
+        g[:, 0:1],
+        g[:, 1:2] + gp[:, 0:1],
+        g[:, 2:-2],
+        g[:, -2:-1] + gp[:, -1:],
+        g[:, -1:],
+    ], axis=1)
     g2 = g[1:-1, :]
-    g2 = g2.at[1, :].add(g[0, :])
-    g2 = g2.at[-2, :].add(g[-1, :])
+    g2 = jnp.concatenate([
+        g2[0:1, :],
+        g2[1:2, :] + g[0:1, :],
+        g2[2:-2, :],
+        g2[-2:-1, :] + g[-1:, :],
+        g2[-1:, :],
+    ], axis=0)
     return g2
 
 
 def _fold2_reflect(gp):
     """Adjoint of the 2-px reflect pad: gp (H+4, W+4) -> (H, W).
-    pad cols: [x[:,2], x[:,1] | x | x[:,-2], x[:,-3]] (after row pad)."""
+    pad cols (after row pad): [x[:,2], x[:,1] | x | x[:,-2], x[:,-3]]."""
     g = gp[:, 2:-2]
-    g = g.at[:, 2].add(gp[:, 0])
-    g = g.at[:, 1].add(gp[:, 1])
-    g = g.at[:, -2].add(gp[:, -2])
-    g = g.at[:, -3].add(gp[:, -1])
+    g = jnp.concatenate([
+        g[:, 0:1],
+        g[:, 1:2] + gp[:, 1:2],
+        g[:, 2:3] + gp[:, 0:1],
+        g[:, 3:-3],
+        g[:, -3:-2] + gp[:, -1:],
+        g[:, -2:-1] + gp[:, -2:-1],
+        g[:, -1:],
+    ], axis=1)
     g2 = g[2:-2, :]
-    g2 = g2.at[2, :].add(g[0, :])
-    g2 = g2.at[1, :].add(g[1, :])
-    g2 = g2.at[-2, :].add(g[-2, :])
-    g2 = g2.at[-3, :].add(g[-1, :])
+    g2 = jnp.concatenate([
+        g2[0:1, :],
+        g2[1:2, :] + g[1:2, :],
+        g2[2:3, :] + g[0:1, :],
+        g2[3:-3, :],
+        g2[-3:-2, :] + g[-1:, :],
+        g2[-2:-1, :] + g[-2:-1, :],
+        g2[-1:, :],
+    ], axis=0)
     return g2
 
 
