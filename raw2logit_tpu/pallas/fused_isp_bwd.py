@@ -26,28 +26,36 @@ from jax.experimental.pallas import tpu as pltpu
 from raw2logit_tpu.ops import constants
 
 
+def _row_from(x, src, h):
+    """(1, W) row ``src`` of x as an offset-0 value (roll + slice-at-0;
+    Mosaic concatenation requires operands without sublane offsets)."""
+    return pltpu.roll(x, -src % x.shape[0], axis=0)[0:1, :]
+
+
+def _col_from(x, src):
+    return pltpu.roll(x, -src % x.shape[1], axis=1)[:, 0:1]
+
+
 def _pad1_reflect(x):
-    top, bot = x[1:2, :], x[-2:-1, :]
-    x = jnp.concatenate([top, x, bot], axis=0)
-    left, right = x[:, 1:2], x[:, -2:-1]
-    return jnp.concatenate([left, x, right], axis=1)
+    h, w = x.shape
+    x = jnp.concatenate([_row_from(x, 1, h), x, _row_from(x, h - 2, h)],
+                        axis=0)
+    return jnp.concatenate([_col_from(x, 1), x, _col_from(x, w - 2)],
+                           axis=1)
 
 
 def _pad2_reflect(x):
-    top = jnp.concatenate([x[2:3, :], x[1:2, :]], axis=0)
-    bot = jnp.concatenate([x[-2:-1, :], x[-3:-2, :]], axis=0)
-    x = jnp.concatenate([top, x, bot], axis=0)
-    left = jnp.concatenate([x[:, 2:3], x[:, 1:2]], axis=1)
-    right = jnp.concatenate([x[:, -2:-1], x[:, -3:-2]], axis=1)
-    return jnp.concatenate([left, x, right], axis=1)
+    h, w = x.shape
+    x = jnp.concatenate([_row_from(x, 2, h), _row_from(x, 1, h), x,
+                         _row_from(x, h - 2, h), _row_from(x, h - 3, h)],
+                        axis=0)
+    return jnp.concatenate([_col_from(x, 2), _col_from(x, 1), x,
+                            _col_from(x, w - 2), _col_from(x, w - 3)],
+                           axis=1)
 
 
 def _pad1_zero(x):
-    h, w = x.shape
-    zr = jnp.zeros((1, w), x.dtype)
-    x = jnp.concatenate([zr, x, zr], axis=0)
-    zc = jnp.zeros((h + 2, 1), x.dtype)
-    return jnp.concatenate([zc, x, zc], axis=1)
+    return _padk_zero(x, 1)
 
 
 def _padk_zero(x, k):
@@ -79,53 +87,79 @@ def _conv_full(x, k_ref, ksize, base=(0, 0)):
                     flip=True, base=base)
 
 
+def _shifted(x, dr, dc, out_h, out_w):
+    """Offset-0 (out_h, out_w) window of x starting at (dr, dc) via roll."""
+    y = x
+    if dr:
+        y = pltpu.roll(y, -dr % x.shape[0], axis=0)
+    if dc:
+        y = pltpu.roll(y, -dc % x.shape[1], axis=1)
+    return y[0:out_h, 0:out_w]
+
+
+def _row_mask(h, w, row):
+    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) == row
+
+
+def _col_mask(h, w, col):
+    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) == col
+
+
+def _fold_axis1(a, k, w):
+    """Adjoint of k-px reflect pad on axis 1: a (R, W+2k) -> (R, W)."""
+    r = a.shape[0]
+    out = _shifted(a, 0, k, r, w)
+    if k == 1:
+        # pad cols: [x1 | x | x_{w-2}]
+        out = out + jnp.where(_col_mask(r, w, 1),
+                              _shifted(a, 0, -1, r, w), 0.0)
+        out = out + jnp.where(_col_mask(r, w, w - 2),
+                              _shifted(a, 0, 3, r, w), 0.0)
+    else:
+        # pad cols: [x2, x1 | x | x_{w-2}, x_{w-3}]
+        out = out + jnp.where(_col_mask(r, w, 2),
+                              _shifted(a, 0, -2, r, w), 0.0)
+        out = out + jnp.where(_col_mask(r, w, 1),
+                              _shifted(a, 0, 0, r, w), 0.0)
+        out = out + jnp.where(_col_mask(r, w, w - 2),
+                              _shifted(a, 0, 4, r, w), 0.0)
+        out = out + jnp.where(_col_mask(r, w, w - 3),
+                              _shifted(a, 0, 6, r, w), 0.0)
+    return out
+
+
+def _fold_axis0(a, k, h):
+    """Adjoint of k-px reflect pad on axis 0: a (H+2k, C) -> (H, C)."""
+    c = a.shape[1]
+    out = _shifted(a, k, 0, h, c)
+    if k == 1:
+        out = out + jnp.where(_row_mask(h, c, 1),
+                              _shifted(a, -1, 0, h, c), 0.0)
+        out = out + jnp.where(_row_mask(h, c, h - 2),
+                              _shifted(a, 3, 0, h, c), 0.0)
+    else:
+        out = out + jnp.where(_row_mask(h, c, 2),
+                              _shifted(a, -2, 0, h, c), 0.0)
+        out = out + jnp.where(_row_mask(h, c, 1),
+                              _shifted(a, 0, 0, h, c), 0.0)
+        out = out + jnp.where(_row_mask(h, c, h - 2),
+                              _shifted(a, 4, 0, h, c), 0.0)
+        out = out + jnp.where(_row_mask(h, c, h - 3),
+                              _shifted(a, 6, 0, h, c), 0.0)
+    return out
+
+
 def _fold1_reflect(gp):
-    """Adjoint of 1-px torch-'reflect' pad: gp (H+2, W+2) -> (H, W).
-    Forward pads rows then cols; adjoint folds cols then rows. Built from
-    slices + concatenate only (Mosaic has no scatter-add)."""
-    g = gp[:, 1:-1]
-    g = jnp.concatenate([
-        g[:, 0:1],
-        g[:, 1:2] + gp[:, 0:1],
-        g[:, 2:-2],
-        g[:, -2:-1] + gp[:, -1:],
-        g[:, -1:],
-    ], axis=1)
-    g2 = g[1:-1, :]
-    g2 = jnp.concatenate([
-        g2[0:1, :],
-        g2[1:2, :] + g[0:1, :],
-        g2[2:-2, :],
-        g2[-2:-1, :] + g[-1:, :],
-        g2[-1:, :],
-    ], axis=0)
-    return g2
+    """Adjoint of the 1-px torch-'reflect' pad (rows-then-cols forward,
+    so cols-then-rows adjoint): gp (H+2, W+2) -> (H, W)."""
+    h, w = gp.shape[0] - 2, gp.shape[1] - 2
+    return _fold_axis0(_fold_axis1(gp, 1, w), 1, h)
 
 
 def _fold2_reflect(gp):
-    """Adjoint of the 2-px reflect pad: gp (H+4, W+4) -> (H, W).
-    pad cols (after row pad): [x[:,2], x[:,1] | x | x[:,-2], x[:,-3]]."""
-    g = gp[:, 2:-2]
-    g = jnp.concatenate([
-        g[:, 0:1],
-        g[:, 1:2] + gp[:, 1:2],
-        g[:, 2:3] + gp[:, 0:1],
-        g[:, 3:-3],
-        g[:, -3:-2] + gp[:, -1:],
-        g[:, -2:-1] + gp[:, -2:-1],
-        g[:, -1:],
-    ], axis=1)
-    g2 = g[2:-2, :]
-    g2 = jnp.concatenate([
-        g2[0:1, :],
-        g2[1:2, :] + g[1:2, :],
-        g2[2:3, :] + g[0:1, :],
-        g2[3:-3, :],
-        g2[-3:-2, :] + g[-1:, :],
-        g2[-2:-1, :] + g[-2:-1, :],
-        g2[-1:, :],
-    ], axis=0)
-    return g2
+    """Adjoint of the 2-px reflect pad: gp (H+4, W+4) -> (H, W)."""
+    h, w = gp.shape[0] - 4, gp.shape[1] - 4
+    return _fold_axis0(_fold_axis1(gp, 2, w), 2, h)
 
 
 def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
