@@ -78,11 +78,20 @@ def _stencil(xp, k_ref, ksize, h, w, flip=False, base=(0, 0)):
     return acc
 
 
+def _canon(x):
+    """Force an offset-0 vector layout: Mosaic refuses to concatenate
+    operands whose layouts carry sublane/lane offsets, and values produced
+    by slice chains may carry them. A full-cycle double roll materializes
+    the value at offset 0."""
+    x = pltpu.roll(x, 1, axis=0)
+    return pltpu.roll(x, x.shape[0] - 1, axis=0)
+
+
 def _conv_full(x, k_ref, ksize, base=(0, 0)):
     """full-corr: out[u,v] = sum_ab K[a,b] x[u-a, v-b], out grows by
     ksize-1 per side. Implemented as zero-pad(ksize-1) + flipped VALID."""
     h, w = x.shape
-    xp = _padk_zero(x, ksize - 1)
+    xp = _padk_zero(_canon(x), ksize - 1)
     return _stencil(xp, k_ref, ksize, h + ksize - 1, w + ksize - 1,
                     flip=True, base=base)
 
@@ -199,9 +208,9 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
 
     yuv0 = [a_ref[k, 0] * deb[0] + a_ref[k, 1] * deb[1]
             + a_ref[k, 2] * deb[2] for k in range(3)]
-    y0_pad = _pad1_zero(yuv0[0])
+    y0_pad = _pad1_zero(_canon(yuv0[0]))
     s = _stencil(y0_pad, ksharp_ref, 3, h, w)
-    s_pad = _pad2_reflect(s)
+    s_pad = _pad2_reflect(_canon(s))
     t_lum = _stencil(s_pad, kblur_ref, 5, h, w)
     yuv = [t_lum, yuv0[1], yuv0[2]]
 
