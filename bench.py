@@ -94,7 +94,7 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
 
 def _run_child(mode):
     """Run one measurement in a watchdog subprocess; imgs/sec or None."""
-    budget = int(os.environ.get("BENCH_COMPILE_BUDGET", 2700))
+    budget = int(os.environ.get("BENCH_COMPILE_BUDGET", 1500))
     code = (f"import bench, json; "
             f"v = bench.measure_jax(mode='{mode}'); "
             f"print('BENCH_RESULT ' + json.dumps(v))")

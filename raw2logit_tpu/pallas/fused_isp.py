@@ -221,12 +221,16 @@ def _fwd(raw, params):
 def _bwd(res, g):
     raw, params = res
     import os
-    if os.environ.get("R2L_FUSED_BWD", "pallas") == "pallas":
-        # hand-written recompute backward kernel (fused_isp_bwd.py)
+    if os.environ.get("R2L_FUSED_BWD", "jnp") == "pallas":
+        # hand-written recompute backward kernel (fused_isp_bwd.py).
+        # NOTE: verified against autodiff in interpreter mode; on real TPU
+        # the current Mosaic release refuses the kernel's concatenations
+        # ("result/input offset mismatch on non-concat dimension"), so the
+        # default backward differentiates the numerically-identical jnp
+        # composition instead (XLA fuses it well).
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         return fused_isp_bwd_pallas(raw, params, g,
                                     interpret=not _is_tpu())
-    # fallback: differentiate the numerically-identical jnp composition
     _, vjp = jax.vjp(fused_isp_reference, raw, params)
     return vjp(g)
 
