@@ -126,22 +126,30 @@ class ResNet(nn.Module):
 
 
 def resnet_model(model="resnet18", pretrained=False, in_channels=3,
-                 fc_out_features=2, dtype=jnp.float32):
+                 fc_out_features=2, dtype=jnp.float32,
+                 weights_dir="weights"):
     """Factory mirroring the reference resnet_model (model.py:15-23).
 
-    ``pretrained`` loads converted torchvision weights from
-    ``weights/<model>.npz`` if present (this image has no torchvision and no
-    egress, so ImageNet weights must be provided out of band); otherwise
-    random init is used and a note is printed.
+    ``pretrained`` requires converted torchvision weights at
+    ``<weights_dir>/<model>.npz`` (tools/convert_torchvision.py writes them
+    on a host that has torchvision; this image has neither torchvision nor
+    egress). The check happens here so a missing file fails at build time;
+    the actual overlay onto initialized variables is
+    ``load_pretrained_variables`` (applied in training/train.py after init,
+    since flax modules carry no state).
     """
     block_cls, stage_sizes = RESNET_CONFIGS[model.lower()]
     net = ResNet(block_cls=block_cls, stage_sizes=stage_sizes,
                  num_classes=fc_out_features, in_channels=in_channels,
                  dtype=dtype)
-    pretrained_path = os.path.join("weights", f"{model.lower()}.npz")
-    if pretrained and not os.path.exists(pretrained_path):
-        print(f"note: pretrained weights not found at {pretrained_path}; "
-              "using random init")
+    if pretrained:
+        path = os.path.join(weights_dir, f"{model.lower()}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"--classifier_pretrained requested but {path} does not "
+                "exist. Convert torchvision ImageNet weights on a host that "
+                "has torchvision:  python tools/convert_torchvision.py "
+                f"{model.lower()} {path}")
     return net
 
 
@@ -149,3 +157,90 @@ def load_pretrained_npz(path):
     """Load a flat {path: array} npz of converted weights."""
     with np.load(path) as data:
         return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+# conv_init and fc stay at random init: the reference replaces torchvision's
+# conv1 and fc with freshly-initialized layers even when pretrained=True
+# (model.py:15-23), so only the backbone carries ImageNet weights.
+PRETRAINED_SKIP = ("conv_init", "fc")
+
+
+def overlay_pretrained(variables, flat, skip=PRETRAINED_SKIP, prefix=(),
+                       ignore_missing=False):
+    """Overlay a flat ``{collection/module/.../leaf: array}`` dict (the
+    layout written by tools/convert_torchvision.py) onto freshly-initialized
+    flax variables.
+
+    ``prefix`` descends into a submodule first (e.g. ``("encoder",)`` for
+    the U-Net++ encoder, paralleling smp's encoder_weights='imagenet',
+    reference train.py:218-225). Strict: unknown paths and shape mismatches
+    raise, unless ``ignore_missing`` (truncated-depth encoders, e.g. the
+    neural ISP's depth-3 ResNet34, only instantiate the early stages).
+    Returns (new_variables, applied_key_list).
+    """
+    import copy
+    new_vars = copy.deepcopy(flax_to_dict(variables))
+    applied = []
+    for key, arr in flat.items():
+        parts = key.split("/")
+        coll, path = parts[0], parts[1:]
+        if path and path[0] in skip:
+            continue
+        node = new_vars.get(coll)
+        if node is None:
+            raise KeyError(f"collection {coll!r} not in variables "
+                           f"(have {sorted(new_vars)})")
+        missing = False
+        for p in prefix + tuple(path[:-1]):
+            if p not in node:
+                if ignore_missing:
+                    missing = True
+                    break
+                raise KeyError(f"pretrained path {key!r} not found under "
+                               f"prefix {prefix}: missing {p!r}")
+            node = node[p]
+        if missing:
+            continue
+        leaf = path[-1]
+        if leaf not in node:
+            if ignore_missing:
+                continue
+            raise KeyError(f"pretrained leaf {key!r} not in variables")
+        if tuple(node[leaf].shape) != tuple(arr.shape):
+            raise ValueError(f"shape mismatch for {key}: variables have "
+                             f"{node[leaf].shape}, npz has {arr.shape}")
+        node[leaf] = jnp.asarray(arr, node[leaf].dtype)
+        applied.append(key)
+    return new_vars, applied
+
+
+def flax_to_dict(variables):
+    """Plain-dict view of (possibly frozen) flax variables."""
+    if hasattr(variables, "unfreeze"):
+        return variables.unfreeze()
+    return {k: flax_to_dict(v) if isinstance(v, dict) or hasattr(v, "unfreeze")
+            else v for k, v in variables.items()}
+
+
+def load_pretrained_variables(model_name, variables, weights_dir="weights",
+                              prefix=(), required=True,
+                              ignore_missing=False):
+    """Overlay converted ImageNet weights for ``model_name`` onto
+    ``variables`` from ``<weights_dir>/<model_name>.npz``.
+
+    required=True raises when the file is absent (the user explicitly asked
+    for pretrained init); required=False returns variables unchanged with a
+    note (segmentation's encoder_weights='imagenet' default, which this
+    zero-egress image cannot satisfy out of the box)."""
+    path = os.path.join(weights_dir, f"{model_name.lower()}.npz")
+    if not os.path.exists(path):
+        if required:
+            raise FileNotFoundError(
+                f"pretrained weights requested but {path} does not exist; "
+                "run tools/convert_torchvision.py on a host with torchvision")
+        print(f"note: no converted ImageNet weights at {path}; "
+              "encoder uses random init")
+        return variables, []
+    flat = load_pretrained_npz(path)
+    return overlay_pretrained(variables, flat, prefix=prefix,
+                              ignore_missing=ignore_missing)

@@ -21,6 +21,7 @@ from raw2logit_tpu.data.datasets import DATASET_STATS
 from raw2logit_tpu.isp import (NNProcessing, ParametrizedProcessing,
                                RawToRGB, StaticPipeline)
 from raw2logit_tpu.models import UNetPlusPlus, resnet_model
+from raw2logit_tpu.models.resnet import load_pretrained_variables
 from raw2logit_tpu.parallel import make_mesh
 from raw2logit_tpu.parallel.mesh import replicated_sharding
 from raw2logit_tpu.tracking import Run, track_images
@@ -305,6 +306,44 @@ def run_train(args):
         state, tx = create_train_state(cfg, processor, classifier,
                                        sample_raw, rng)
 
+        # ImageNet-pretrained init: overlay converted torchvision weights
+        # onto the freshly-initialized classifier (reference model.py:15-23
+        # and smp encoder_weights='imagenet', train.py:218-225).
+        # --classifier_pretrained is explicit -> missing weights raise (in
+        # resnet_model, at build time); the segmentation encoder default is
+        # best-effort (this image cannot download ImageNet weights).
+        pretrained_applied = []
+        if dataset.task == "classification" and args.classifier_pretrained:
+            cvars = {"params": state.clf_params,
+                     "batch_stats": state.clf_stats}
+            cvars, pretrained_applied = load_pretrained_variables(
+                args.classifier_network.lower(), cvars)
+        elif dataset.task == "segmentation":
+            cvars = {"params": state.clf_params,
+                     "batch_stats": state.clf_stats}
+            cvars, pretrained_applied = load_pretrained_variables(
+                args.smp_encoder.lower(), cvars, prefix=("encoder",),
+                required=False)
+        if pretrained_applied:
+            state = state.replace(clf_params=cvars["params"],
+                                  clf_stats=cvars["batch_stats"])
+            print(f"applied {len(pretrained_applied)} pretrained arrays "
+                  "to the classifier backbone")
+        if args.processing_mode == "neural_network":
+            # neural-ISP encoder weights (pipeline_torch.py:97-103 uses an
+            # imagenet resnet34 encoder); depth-3 truncation -> best-effort
+            pvars = {"params": state.proc_params,
+                     "batch_stats": state.proc_stats}
+            pvars, proc_applied = load_pretrained_variables(
+                "resnet34", pvars, prefix=("model", "encoder"),
+                required=False, ignore_missing=True)
+            if proc_applied:
+                state = state.replace(proc_params=pvars["params"],
+                                      proc_stats=pvars["batch_stats"])
+                pretrained_applied = pretrained_applied + proc_applied
+                print(f"applied {len(proc_applied)} pretrained arrays "
+                      "to the neural-ISP encoder")
+
         # resume sub-trees (processor_uri / classifier_uri point at the
         # per-component checkpoints written below)
         if args.processor_uri:
@@ -321,7 +360,7 @@ def run_train(args):
                  "batch_stats": state.clf_stats})
             state = state.replace(clf_params=restored["params"],
                                   clf_stats=restored["batch_stats"])
-        if args.processor_uri or args.classifier_uri:
+        if args.processor_uri or args.classifier_uri or pretrained_applied:
             state = jax.device_put(state, replicated_sharding(mesh))
 
         train_step = make_train_step(cfg, processor, classifier, tx)
