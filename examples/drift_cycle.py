@@ -63,7 +63,7 @@ def main():
     diag, off = [], []
     for k, v in table.items():
         a, b = k.split("__VS__")
-        (diag if a == b else off).append(v["accuracy"])
+        (diag if a == b else off).append(v["accuracy_mean"])
     print(f"matched-pipeline acc: {sum(diag) / len(diag):.3f}, "
           f"swapped-pipeline acc: {sum(off) / len(off):.3f}")
 

@@ -25,7 +25,7 @@ import numpy as np
 from raw2logit_tpu.data import Loader, Subset, get_dataset
 from raw2logit_tpu.data.datasets import DATASET_STATS
 from raw2logit_tpu.evaluation.corruptions import distort
-from raw2logit_tpu.evaluation.metrics import ConfusionMetrics
+from raw2logit_tpu.evaluation.metrics import ConfusionMetrics, over_n_runs
 from raw2logit_tpu.isp import StaticPipeline
 from raw2logit_tpu.losses import iou_score
 from raw2logit_tpu.models import UNetPlusPlus, resnet_model
@@ -95,8 +95,8 @@ class ABTesting:
     # -- evaluation core ---------------------------------------------------
 
     def _eval_fn(self, classifier, clf_variables, test_pipeline,
-                 corruption="identity"):
-        severity = self.severity
+                 corruption="identity", severity=None):
+        severity = self.severity if severity is None else severity
 
         @jax.jit
         def run(raw, key):
@@ -110,13 +110,14 @@ class ABTesting:
 
     def evaluate(self, classifier, clf_variables, valid_indices,
                  debayer, sharpening, denoising, corruption="identity",
-                 seed=0):
+                 seed=0, severity=None):
         """One cell of the A/B (or C) matrix -> metrics dict
         (ABclassification / ABsegmentation, ABtesting.py:175-272)."""
         pipe = StaticPipeline(
             camera_parameters=self.dataset.camera_parameters,
             debayer=debayer, sharpening=sharpening, denoising=denoising)
-        run = self._eval_fn(classifier, clf_variables, pipe, corruption)
+        run = self._eval_fn(classifier, clf_variables, pipe, corruption,
+                            severity)
         subset = Subset(self.dataset, valid_indices)
         loader = Loader(subset, self.batch_size, shuffle=False,
                         drop_last=False)
@@ -138,15 +139,55 @@ class ABTesting:
             ious.append(float(iou_score(probs, jnp.asarray(y))))
         return {"iou": float(np.mean(ious))}
 
+    # -- fold aggregation ---------------------------------------------------
+
+    @staticmethod
+    def _fold_runs(ckpts, valid_indices, n_runs=None):
+        """Normalize (checkpoints, valid_indices) into per-fold pairs.
+
+        ckpts: a single path or a list of per-fold paths (training with
+        --n_splits k writes one checkpoint per fold; the reference evaluates
+        run_name_0..run_name_{N-1}, ABtesting.py:189-196).
+        valid_indices: one shared index list, or one list per fold (the
+        reference reads each fold's valid_indices from its state_dict).
+        """
+        if isinstance(ckpts, (str, os.PathLike)):
+            ckpts = [ckpts]
+        ckpts = list(ckpts)[: n_runs or None]
+        per_fold_idx = (valid_indices
+                        if valid_indices and isinstance(valid_indices[0],
+                                                        (list, tuple))
+                        else [valid_indices] * len(ckpts))
+        if len(per_fold_idx) < len(ckpts):
+            raise ValueError(f"{len(ckpts)} fold checkpoints but only "
+                             f"{len(per_fold_idx)} valid_indices lists")
+        return list(zip(ckpts, per_fold_idx))
+
+    def evaluate_runs(self, ckpts, valid_indices, db, sh, dn,
+                      corruption="identity", severity=None,
+                      network="resnet18", n_runs=None):
+        """One table cell aggregated over fold-runs: mean/sample-std per
+        metric (metrics.over_N_runs, ABtesting.py:93-104,213-226)."""
+        summaries = []
+        for ckpt_path, idx in self._fold_runs(ckpts, valid_indices, n_runs):
+            classifier, variables = self.load_model(ckpt_path, network)
+            summaries.append(self.evaluate(
+                classifier, variables, idx, db, sh, dn,
+                corruption=corruption, severity=severity))
+        return over_n_runs(summaries)
+
     # -- tables -------------------------------------------------------------
 
     def ab_make_table(self, checkpoints, valid_indices, out_path,
-                      network="resnet18", test_grid=None):
-        """Full pipeline-swap matrix: rows = train pipeline (one checkpoint
-        each), cols = test pipeline (ABMakeTable, ABtesting.py:430-487).
+                      network="resnet18", test_grid=None, n_runs=None):
+        """Full pipeline-swap matrix: rows = train pipeline, cols = test
+        pipeline (ABMakeTable, ABtesting.py:430-487). Each cell aggregates
+        over the per-fold checkpoints with mean/std keys.
 
-        checkpoints: {train_pipeline_name: checkpoint_path}
+        checkpoints: {train_pipeline_name: ckpt_path | [per-fold paths]}
+        valid_indices: shared index list or one list per fold.
         test_grid: optional subset of pipeline triples for the columns.
+        n_runs: evaluate at most this many folds per cell (--N_runs).
         """
         table = {}
         grid = pipeline_grid()
@@ -155,12 +196,11 @@ class ABTesting:
             tname = pipeline_name(db_t, sh_t, dn_t)
             if tname not in checkpoints:
                 continue
-            classifier, variables = self.load_model(checkpoints[tname],
-                                                    network)
             for (db_e, sh_e, dn_e) in cols:
                 ename = pipeline_name(db_e, sh_e, dn_e)
-                mets = self.evaluate(classifier, variables, valid_indices,
-                                     db_e, sh_e, dn_e)
+                mets = self.evaluate_runs(checkpoints[tname], valid_indices,
+                                          db_e, sh_e, dn_e, network=network,
+                                          n_runs=n_runs)
                 table[f"{tname}__VS__{ename}"] = mets
                 print(f"{tname} vs {ename}: {mets}")
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -169,32 +209,152 @@ class ABTesting:
         return table
 
     def c_make_table(self, checkpoints, valid_indices, out_path,
-                     network="resnet18", severities=(1, 2, 3, 4, 5)):
+                     network="resnet18", severities=(1, 2, 3, 4, 5),
+                     n_runs=None):
         """Pipelines x corruptions x severities (CMakeTable,
-        ABtesting.py:625-700)."""
+        ABtesting.py:625-700), fold-aggregated like ab_make_table."""
         table = {}
         for (db, sh, dn) in pipeline_grid():
             name = pipeline_name(db, sh, dn)
             if name not in checkpoints:
                 continue
-            classifier, variables = self.load_model(checkpoints[name],
-                                                    network)
             for corr in CORRUPTION_LIST:
                 for sev in severities:
-                    self.severity = sev
-                    mets = self.evaluate(classifier, variables,
-                                         valid_indices, db, sh, dn,
-                                         corruption=corr)
+                    mets = self.evaluate_runs(
+                        checkpoints[name], valid_indices, db, sh, dn,
+                        corruption=corr, severity=sev, network=network,
+                        n_runs=n_runs)
                     table[f"{name}__{corr}__s{sev}"] = mets
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(table, fh, indent=2)
         return table
 
+    # -- model-involved image panels ----------------------------------------
 
-def ab_show_table(table_path, metric="accuracy_mean", out_png=None):
-    """Render the NxN matrix as a heatmap (ABShowTable,
-    ABtesting.py:489-622)."""
+    def ab_show_images(self, ckpts, valid_indices, train_pip, test_pip,
+                       out_dir, network="resnet18", index=0):
+        """Per trained model: train-pipeline image, test-pipeline image,
+        per-channel |diff| and log|diff| crops, and the model's prediction
+        under each pipeline (ABShowImages, ABtesting.py:274-335 — the
+        reference also renders the predicted mask for segmentation; here
+        classification additionally records the prediction flip)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        (ckpt_path, idx), *_ = self._fold_runs(ckpts, valid_indices)
+        classifier, variables = self.load_model(ckpt_path, network)
+        raw = jnp.asarray(np.stack([self.dataset[idx[index]][0]]))
+
+        imgs = {}
+        preds = {}
+        for which, (db, sh, dn) in (("train", train_pip), ("test", test_pip)):
+            pipe = StaticPipeline(
+                camera_parameters=self.dataset.camera_parameters,
+                debayer=db, sharpening=sh, denoising=dn)
+            rgb = jax.jit(lambda r: pipe(r))(raw)
+            imgs[which] = np.asarray(rgb[0])
+            fig = plt.figure()
+            plt.imshow(np.clip(imgs[which], 0, 1))
+            plt.title(f"{which.capitalize()} Image")
+            fig.savefig(os.path.join(out_dir, f"img_{which}.png"))
+            plt.close(fig)
+
+            logits = classifier.apply(
+                variables, (rgb - self.mean) / self.std, train=False)
+            if self.task == "classification":
+                preds[which] = int(np.argmax(np.asarray(logits)[0]))
+            else:
+                mask = np.asarray(jax.nn.sigmoid(logits))[0, ..., 0]
+                preds[which] = float(mask.mean())
+                fig = plt.figure()
+                plt.imshow(mask)
+                plt.title(f"Predicted mask ({which} pipeline)")
+                fig.savefig(os.path.join(out_dir, f"mask_{which}.png"))
+                plt.close(fig)
+
+        diff = np.abs(imgs["train"] - imgs["test"])
+        h, w = diff.shape[:2]
+        sl = (slice(min(50, h // 4), min(200, h)),
+              slice(min(50, w // 4), min(200, w)))
+        for c, color in enumerate(["Red", "Green", "Blue"]):
+            fig = plt.figure()
+            plt.imshow(diff[sl[0], sl[1], c], cmap=f"{color}s")
+            plt.title(f"|Train Image - Test Image| - {color}")
+            plt.colorbar()
+            fig.savefig(os.path.join(out_dir, f"diff_{color}.png"))
+            plt.close(fig)
+            fig = plt.figure()
+            plt.imshow(np.log(np.where(diff[..., c] == 0.0, 1e-5,
+                                       diff[..., c])))
+            plt.title(f"log(|Train Image - Test Image|) - {color}")
+            plt.colorbar()
+            fig.savefig(os.path.join(out_dir, f"logdiff_{color}.png"))
+            plt.close(fig)
+
+        summary = {"train_pipeline": list(train_pip),
+                   "test_pipeline": list(test_pip),
+                   "prediction_train": preds["train"],
+                   "prediction_test": preds["test"],
+                   "prediction_flipped": preds["train"] != preds["test"]
+                   if self.task == "classification" else None}
+        if self.task == "classification":
+            label = int(self.dataset[idx[index]][1])
+            summary["label"] = label
+        with open(os.path.join(out_dir, "predictions.json"), "w") as fh:
+            json.dump(summary, fh, indent=2)
+        return summary
+
+    def c_show_images(self, ckpts, valid_indices, test_pip, corruption,
+                      severity, out_dir, network="resnet18", index=0):
+        """Corrupted test-pipeline image + the model's prediction on it
+        (CShowImages, ABtesting.py:371-393, with the model actually run)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        (ckpt_path, idx), *_ = self._fold_runs(ckpts, valid_indices)
+        classifier, variables = self.load_model(ckpt_path, network)
+        raw = jnp.asarray(np.stack([self.dataset[idx[index]][0]]))
+        db, sh, dn = test_pip
+        pipe = StaticPipeline(
+            camera_parameters=self.dataset.camera_parameters,
+            debayer=db, sharpening=sh, denoising=dn)
+        rgb = jax.jit(lambda r: pipe(r))(raw)
+        rgb = distort(jax.random.key(0), rgb, corruption, severity)
+        fig = plt.figure()
+        plt.imshow(np.clip(np.asarray(rgb[0]), 0, 1))
+        plt.title(f"{corruption} severity {severity}")
+        fig.savefig(os.path.join(
+            out_dir, f"{pipeline_name(db, sh, dn)}_{corruption}"
+            f"_s{severity}.png"))
+        plt.close(fig)
+
+        logits = classifier.apply(
+            variables, (rgb - self.mean) / self.std, train=False)
+        if self.task == "classification":
+            pred = int(np.argmax(np.asarray(logits)[0]))
+        else:
+            mask = np.asarray(jax.nn.sigmoid(logits))[0, ..., 0]
+            pred = float(mask.mean())
+            fig = plt.figure()
+            plt.imshow(mask)
+            fig.savefig(os.path.join(out_dir, "mask_corrupted.png"))
+            plt.close(fig)
+        summary = {"corruption": corruption, "severity": severity,
+                   "prediction": pred}
+        with open(os.path.join(out_dir, "predictions.json"), "w") as fh:
+            json.dump(summary, fh, indent=2)
+        return summary
+
+
+def ab_show_table(table_path, metric="accuracy", out_png=None):
+    """Render the NxN matrix as a mean heatmap annotated with the fold
+    sigma (ABShowTable, ABtesting.py:489-622 plots mu with a sigma-scaled
+    marker per cell)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -204,12 +364,25 @@ def ab_show_table(table_path, metric="accuracy_mean", out_png=None):
     names = sorted({k.split("__VS__")[0] for k in table})
     n = len(names)
     mat = np.full((n, n), np.nan)
+    sig = np.full((n, n), np.nan)
     for k, v in table.items():
         a, b = k.split("__VS__")
-        metric_key = metric if metric in v else list(v)[0]
-        mat[names.index(a), names.index(b)] = v[metric_key]
-    fig, ax = plt.subplots(figsize=(10, 9))
+        mkey = (f"{metric}_mean" if f"{metric}_mean" in v
+                else metric if metric in v
+                else next((x for x in v if x.endswith("_mean")), list(v)[0]))
+        mat[names.index(a), names.index(b)] = v[mkey]
+        skey = mkey.replace("_mean", "_std")
+        if skey != mkey and skey in v:
+            sig[names.index(a), names.index(b)] = v[skey]
+    fig, ax = plt.subplots(figsize=(11, 10))
     im = ax.imshow(mat, cmap="viridis")
+    if np.isfinite(sig).any():
+        for i in range(n):
+            for j in range(n):
+                if np.isfinite(mat[i, j]):
+                    ax.text(j, i, f"{mat[i, j]:.2f}\n±{sig[i, j]:.2f}",
+                            ha="center", va="center", fontsize=4,
+                            color="white")
     ax.set_xticks(range(n), names, rotation=90, fontsize=6)
     ax.set_yticks(range(n), names, fontsize=6)
     ax.set_xlabel("test pipeline")
@@ -238,7 +411,10 @@ def c_show_table(table_path, metric="accuracy", out_png=None):
     mat = np.full((len(pipelines), len(corruptions)), np.nan)
     for i, p in enumerate(pipelines):
         for j, c in enumerate(corruptions):
-            vals = [v[metric] if metric in v else list(v.values())[0]
+            vals = [v[f"{metric}_mean"] if f"{metric}_mean" in v
+                    else v[metric] if metric in v
+                    else v[next((x for x in v if x.endswith("_mean")),
+                                list(v)[0])]
                     for k, v in table.items()
                     if k.startswith(f"{p}__{c}__")]
             if vals:

@@ -54,11 +54,12 @@ class ConfusionMetrics:
 
 
 def over_n_runs(summaries):
-    """mean/std per metric over repeated runs (ABtesting.py:93-104)."""
+    """mean/std per metric over repeated fold-runs (ABtesting.py:93-104;
+    the reference uses the sample std, sqrt(sum((x-mu)^2)/(N-1)))."""
     keys = summaries[0].keys()
-    out = {}
+    out = {"n_runs": len(summaries)}
     for k in keys:
         vals = np.asarray([s[k] for s in summaries], float)
         out[f"{k}_mean"] = float(vals.mean())
-        out[f"{k}_std"] = float(vals.std())
+        out[f"{k}_std"] = (float(vals.std(ddof=1)) if len(vals) > 1 else 0.0)
     return out
