@@ -162,28 +162,37 @@ def _affine_from_points(pts1, pts2):
     return np.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], np.float32)
 
 
-def elastic_transform(key, x, severity=1, imsize=IMSIZE):
-    """Random affine + gaussian-smoothed displacement field, order-1
-    map_coordinates, reflect boundary (hendrycks:398-427). The reference
-    keeps IMSIZE=32 constants at any resolution; we default to the same."""
-    c = [(imsize * 0.0, imsize * 0.0, imsize * 0.08),
-         (imsize * 0.05, imsize * 0.2, imsize * 0.07),
-         (imsize * 0.08, imsize * 0.06, imsize * 0.06),
-         (imsize * 0.1, imsize * 0.04, imsize * 0.05),
-         (imsize * 0.1, imsize * 0.03, imsize * 0.03)][severity - 1]
+def elastic_severity(severity, imsize=IMSIZE):
+    """(displacement scale, smoothing sigma, affine jitter) — the reference
+    keeps its IMSIZE=32 constants at any resolution (hendrycks:397-402)."""
+    return [(imsize * 0.0, imsize * 0.0, imsize * 0.08),
+            (imsize * 0.05, imsize * 0.2, imsize * 0.07),
+            (imsize * 0.08, imsize * 0.06, imsize * 0.06),
+            (imsize * 0.1, imsize * 0.04, imsize * 0.05),
+            (imsize * 0.1, imsize * 0.03, imsize * 0.03)][severity - 1]
 
-    h, w = x.shape[1], x.shape[2]
-    k_aff, k_dx, k_dy = jax.random.split(key, 3)
 
+def elastic_control_points(h, w):
+    """The affine control triangle (hendrycks:408-413)."""
     center = np.float32([h // 2, w // 2])
     square = min(h, w) // 3
-    pts1 = np.float32([center + square,
+    return np.float32([center + square,
                        [center[0] + square, center[1] - square],
                        center - square])
-    jitter = np.asarray(jax.random.uniform(
-        k_aff, pts1.shape, minval=-c[2], maxval=c[2]), np.float32)
-    m = _affine_from_points(pts1, pts1 + jitter)
-    # inverse affine for coordinate pull
+
+
+def _elastic_apply(x, jitter, dx_noise, dy_noise, c):
+    """Deterministic elastic body, faithful to hendrycks:398-427 in two
+    resampling stages:
+      1. affine pull, bilinear, REFLECT_101 boundary (== scipy 'mirror'),
+         matching cv2.warpAffine(..., borderMode=cv2.BORDER_REFLECT_101);
+      2. gaussian-smoothed displacement field, order-1 map_coordinates with
+         scipy mode='reflect' (edge-repeating 'symmetric').
+    The randomness (affine jitter, raw noise fields) is injected so CPU
+    goldens can drive both implementations with identical draws."""
+    h, w = x.shape[1], x.shape[2]
+    pts1 = elastic_control_points(h, w)
+    m = _affine_from_points(pts1, pts1 + np.asarray(jitter, np.float32))
     m3 = np.vstack([m, [0, 0, 1]])
     minv = np.linalg.inv(m3)[:2]
 
@@ -193,26 +202,42 @@ def elastic_transform(key, x, severity=1, imsize=IMSIZE):
     src_y = minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]
 
     if c[1] > 0:
-        dx = gaussian_filter_2d(
-            jax.random.uniform(k_dx, (h, w), minval=-1, maxval=1),
-            c[1], pad_mode="symmetric", truncate=3.0) * c[0]
-        dy = gaussian_filter_2d(
-            jax.random.uniform(k_dy, (h, w), minval=-1, maxval=1),
-            c[1], pad_mode="symmetric", truncate=3.0) * c[0]
+        dx = gaussian_filter_2d(jnp.asarray(dx_noise, jnp.float32),
+                                c[1], pad_mode="symmetric",
+                                truncate=3.0) * c[0]
+        dy = gaussian_filter_2d(jnp.asarray(dy_noise, jnp.float32),
+                                c[1], pad_mode="symmetric",
+                                truncate=3.0) * c[0]
     else:
-        dx = dy = jnp.zeros((h, w), jnp.float32)
+        dx = jnp.asarray(dx_noise, jnp.float32) * c[0]
+        dy = jnp.asarray(dy_noise, jnp.float32) * c[0]
 
-    coord_y = src_y + dy
-    coord_x = src_x + dx
+    coord_y = yy + dy
+    coord_x = xx + dx
 
     def _chan(plane):  # (H, W)
+        affined = jax.scipy.ndimage.map_coordinates(
+            plane, [src_y, src_x], order=1, mode="mirror")
         return jax.scipy.ndimage.map_coordinates(
-            plane, [coord_y, coord_x], order=1, mode="mirror")
+            affined, [coord_y, coord_x], order=1, mode="reflect")
 
     def _one(img):  # (H, W, C)
         return jax.vmap(_chan, in_axes=-1, out_axes=-1)(img)
 
     return jnp.clip(jax.vmap(_one)(x), 0, 1)
+
+
+def elastic_transform(key, x, severity=1, imsize=IMSIZE):
+    """Random affine + gaussian-smoothed displacement field
+    (hendrycks:398-427), explicit-PRNG batched."""
+    c = elastic_severity(severity, imsize)
+    h, w = x.shape[1], x.shape[2]
+    k_aff, k_dx, k_dy = jax.random.split(key, 3)
+    jitter = np.asarray(jax.random.uniform(
+        k_aff, (3, 2), minval=-c[2], maxval=c[2]), np.float32)
+    dx_noise = jax.random.uniform(k_dx, (h, w), minval=-1, maxval=1)
+    dy_noise = jax.random.uniform(k_dy, (h, w), minval=-1, maxval=1)
+    return _elastic_apply(x, jitter, dx_noise, dy_noise, c)
 
 
 CORRUPTIONS: Dict[str, Callable] = {
