@@ -24,10 +24,16 @@ def initialize(coordinator_address: Optional[str] = None,
         "COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # multi-process CPU (tests / local sim) needs an explicit
+        # cross-process collectives backend
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ["NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["PROCESS_ID"]))
+        num_processes=(num_processes if num_processes is not None
+                       else int(os.environ["NUM_PROCESSES"])),
+        process_id=(process_id if process_id is not None
+                    else int(os.environ["PROCESS_ID"])))
     return True
 
 

@@ -55,7 +55,11 @@ def build_parser():
     p.add_argument("--run_name", type=str, default="test run")
 
     p.add_argument("--log_model", type=str2bool, default=True)
-    p.add_argument("--save_locally", action="store_true")
+    p.add_argument("--save_locally", action="store_true",
+                   help="additionally copy the final per-fold state to "
+                        "saved_models/<experiment>/<run>_<fold> (the "
+                        "reference's dangling TODO, train.py:49-50, "
+                        "implemented)")
 
     p.add_argument("--track_processing", action="store_true")
     p.add_argument("--track_processing_gradients", action="store_true")
@@ -113,7 +117,10 @@ def build_parser():
                             "sharpening_filter", "gaussian_blur",
                             "additive_layer"])
 
-    p.add_argument("--cache_downloaded_models", type=str2bool, default=True)
+    p.add_argument("--cache_downloaded_models", type=str2bool, default=True,
+                   help="accepted for reference-CLI parity "
+                        "(utils/base.py:190-229); the local run store never "
+                        "downloads, so this is a no-op here")
     p.add_argument("--test_run", action="store_true")
 
     # TPU-native extras (not in the reference)
@@ -455,6 +462,15 @@ def run_train(args):
                 {"params": state.clf_params,
                  "batch_stats": state.clf_stats},
                 os.path.join(run.dir, "checkpoints", "classifier"))
+
+        if args.save_locally:
+            local_dir = os.path.join("saved_models", args.experiment_name,
+                                     f"{args.run_name}_{k_iter}")
+            ckpt.save_state(state, local_dir)
+            with open(os.path.join(local_dir, "state_dict.json"),
+                      "w") as fh:
+                json.dump(state_dict, fh, indent=2, default=str)
+            print(f"saved locally -> {local_dir}")
 
         results.append({"state": state, "run": run,
                         "valid_indices": valid_indices})

