@@ -26,44 +26,57 @@ from jax.experimental.pallas import tpu as pltpu
 from raw2logit_tpu.ops import constants
 
 
-def _row_from(x, src, h):
-    """(1, W) row ``src`` of x as an offset-0 value (roll + slice-at-0;
-    Mosaic concatenation requires operands without sublane offsets)."""
-    return pltpu.roll(x, -src % x.shape[0], axis=0)[0:1, :]
+def _embed(x, k):
+    """Zero-embed x (h, w) at offset k into an (h+2k, w+2k) canvas.
+
+    No concatenate: Mosaic rejects concatenations whose operands carry
+    sublane/lane layout offsets ("offset mismatch on non-concat
+    dimension"); a static-index set lowers to pad/select instead."""
+    h, w = x.shape
+    canvas = jnp.zeros((h + 2 * k, w + 2 * k), x.dtype)
+    return jax.lax.dynamic_update_slice(canvas, x, (k, k))
 
 
-def _col_from(x, src):
-    return pltpu.roll(x, -src % x.shape[1], axis=1)[:, 0:1]
+def _borrow(p, axis, dst, src):
+    """p[dst] <- p[src] along axis via masked roll (concat-free border
+    fill; roll(p, s)[i] == p[i - s])."""
+    rolled = pltpu.roll(p, (dst - src) % p.shape[axis], axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, axis)
+    return jnp.where(idx == dst, rolled, p)
 
 
 def _pad1_reflect(x):
+    """1-px torch-'reflect' (exclusive) pad, rows then cols."""
     h, w = x.shape
-    x = jnp.concatenate([_row_from(x, 1, h), x, _row_from(x, h - 2, h)],
-                        axis=0)
-    return jnp.concatenate([_col_from(x, 1), x, _col_from(x, w - 2)],
-                           axis=1)
+    p = _embed(x, 1)                       # interior at rows/cols 1..h
+    p = _borrow(p, 0, 0, 2)                # row 0    <- x[1]
+    p = _borrow(p, 0, h + 1, h - 1)        # row h+1  <- x[h-2]
+    p = _borrow(p, 1, 0, 2)
+    p = _borrow(p, 1, w + 1, w - 1)
+    return p
 
 
 def _pad2_reflect(x):
+    """2-px torch-'reflect' pad."""
     h, w = x.shape
-    x = jnp.concatenate([_row_from(x, 2, h), _row_from(x, 1, h), x,
-                         _row_from(x, h - 2, h), _row_from(x, h - 3, h)],
-                        axis=0)
-    return jnp.concatenate([_col_from(x, 2), _col_from(x, 1), x,
-                            _col_from(x, w - 2), _col_from(x, w - 3)],
-                           axis=1)
+    p = _embed(x, 2)                       # interior at rows/cols 2..h+1
+    p = _borrow(p, 0, 0, 4)                # row 0    <- x[2]
+    p = _borrow(p, 0, 1, 3)                # row 1    <- x[1]
+    p = _borrow(p, 0, h + 2, h)            # row h+2  <- x[h-2]
+    p = _borrow(p, 0, h + 3, h - 1)        # row h+3  <- x[h-3]
+    p = _borrow(p, 1, 0, 4)
+    p = _borrow(p, 1, 1, 3)
+    p = _borrow(p, 1, w + 2, w)
+    p = _borrow(p, 1, w + 3, w - 1)
+    return p
 
 
 def _pad1_zero(x):
-    return _padk_zero(x, 1)
+    return _embed(x, 1)
 
 
 def _padk_zero(x, k):
-    h, w = x.shape
-    zr = jnp.zeros((k, w), x.dtype)
-    x = jnp.concatenate([zr, x, zr], axis=0)
-    zc = jnp.zeros((h + 2 * k, k), x.dtype)
-    return jnp.concatenate([zc, x, zc], axis=1)
+    return _embed(x, k)
 
 
 def _stencil(xp, k_ref, ksize, h, w, flip=False, base=(0, 0)):
@@ -78,20 +91,11 @@ def _stencil(xp, k_ref, ksize, h, w, flip=False, base=(0, 0)):
     return acc
 
 
-def _canon(x):
-    """Force an offset-0 vector layout: Mosaic refuses to concatenate
-    operands whose layouts carry sublane/lane offsets, and values produced
-    by slice chains may carry them. A full-cycle double roll materializes
-    the value at offset 0."""
-    x = pltpu.roll(x, 1, axis=0)
-    return pltpu.roll(x, x.shape[0] - 1, axis=0)
-
-
 def _conv_full(x, k_ref, ksize, base=(0, 0)):
     """full-corr: out[u,v] = sum_ab K[a,b] x[u-a, v-b], out grows by
     ksize-1 per side. Implemented as zero-pad(ksize-1) + flipped VALID."""
     h, w = x.shape
-    xp = _padk_zero(_canon(x), ksize - 1)
+    xp = _padk_zero(x, ksize - 1)
     return _stencil(xp, k_ref, ksize, h + ksize - 1, w + ksize - 1,
                     flip=True, base=base)
 
@@ -208,9 +212,9 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
 
     yuv0 = [a_ref[k, 0] * deb[0] + a_ref[k, 1] * deb[1]
             + a_ref[k, 2] * deb[2] for k in range(3)]
-    y0_pad = _pad1_zero(_canon(yuv0[0]))
+    y0_pad = _pad1_zero(yuv0[0])
     s = _stencil(y0_pad, ksharp_ref, 3, h, w)
-    s_pad = _pad2_reflect(_canon(s))
+    s_pad = _pad2_reflect(s)
     t_lum = _stencil(s_pad, kblur_ref, 5, h, w)
     yuv = [t_lum, yuv0[1], yuv0[2]]
 
