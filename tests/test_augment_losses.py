@@ -158,7 +158,8 @@ def test_adjust_sharpness_bounds(img_batch):
 
 
 @pytest.mark.parametrize("name", ["defocus_blur", "pixelate",
-                                  "jpeg_compression", "fog"])
+                                  "jpeg_compression", "fog", "motion_blur",
+                                  "glass_blur", "frost", "snow", "spatter"])
 def test_extra_corruptions_bounded(name, rng):
     x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
     out = np.asarray(distort(jax.random.key(1), x, name, 3))
