@@ -252,6 +252,106 @@ def make_train_step(cfg: TrainConfig, processor, classifier, tx,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
+                           donate: bool = True):
+    """Compile-budget-constrained variant of make_train_step.
+
+    The identical mathematical update (chain rule through ISP -> aug ->
+    model -> loss, then one Adam apply) split into FOUR separately-jitted
+    programs: ISP forward, classifier value-and-grad (returning the rgb
+    cotangent), ISP vjp, optimizer apply. Each program is a fraction of
+    the monolithic step's HLO, so on backends where compilation is the
+    bottleneck (this environment's remote TPU compiler) every piece fits a
+    compile-budget window and lands in the persistent cache independently.
+    Costs one ISP recompute (cheap next to the model) and 4 dispatches.
+
+    Not supported: adversarial mode (use make_train_step).
+    """
+    assert not cfg.adv_training, "staged step does not cover adv_training"
+    loss_fn_task = task_loss_fn(cfg)
+    aug = get_augmentation(cfg.augmentation)
+    update_proc_bn = not cfg.freeze_processor
+    update_clf_bn = not cfg.freeze_classifier
+
+    def _isp(proc_params, proc_stats, raw):
+        if processor is None:
+            return raw, proc_stats
+        pvars = {"params": proc_params, "batch_stats": proc_stats}
+        if update_proc_bn and proc_stats:
+            (rgb, _), mut = processor.apply(pvars, raw, train=True,
+                                            mutable=["batch_stats"])
+            return rgb, mut["batch_stats"]
+        rgb, _ = processor.apply(pvars, raw, train=False)
+        return rgb, proc_stats
+
+    @jax.jit
+    def isp_fwd(proc_params, proc_stats, raw):
+        return _isp(proc_params, proc_stats, raw)
+
+    @jax.jit
+    def clf_grad(clf_params, clf_stats, rgb, y, key):
+        def loss_fn(clf_params, rgb):
+            x = rgb
+            if aug is not None:
+                x = aug(key, x, is_mask=False)
+            y_t = y
+            if cfg.task == "segmentation" and aug is not None:
+                y_t = aug(key, y_t, is_mask=True)
+            cvars = {"params": clf_params}
+            if clf_stats:
+                cvars["batch_stats"] = clf_stats
+            if update_clf_bn and clf_stats:
+                logits, mut = classifier.apply(cvars, x, train=True,
+                                               mutable=["batch_stats"])
+                new_cs = mut["batch_stats"]
+            else:
+                logits = classifier.apply(cvars, x, train=False)
+                new_cs = clf_stats
+            if cfg.task == "segmentation" and logits.shape[-1] == 1:
+                logits = logits[..., 0]
+            loss = loss_fn_task(logits, y_t)
+            mets = _step_metrics(cfg, logits, y_t)
+            mets["loss"] = loss
+            mets["loss_aux"] = jnp.zeros(())
+            return loss, (new_cs, mets)
+
+        grads, (new_cs, mets) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(clf_params, rgb)
+        return grads[0], grads[1], new_cs, mets
+
+    @jax.jit
+    def isp_bwd(proc_params, proc_stats, raw, d_rgb):
+        def rgb_of(p):
+            return _isp(p, proc_stats, raw)[0]
+        _, vjp = jax.vjp(rgb_of, proc_params)
+        return vjp(d_rgb)[0]
+
+    @jax.jit
+    def opt_apply(grads, opt_state, params):
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    def step(state: TrainState, raw, y, key):
+        rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
+        clf_g, d_rgb, new_cs, mets = clf_grad(
+            state.clf_params, state.clf_stats, rgb, y, key)
+        if processor is not None and state.proc_params:
+            proc_g = isp_bwd(state.proc_params, state.proc_stats, raw,
+                             d_rgb)
+        else:
+            proc_g = state.proc_params
+        (new_proc, new_clf), new_opt = opt_apply(
+            (proc_g, clf_g), state.opt_state,
+            (state.proc_params, state.clf_params))
+        new_state = state.replace(step=state.step + 1,
+                                  proc_params=new_proc, clf_params=new_clf,
+                                  proc_stats=new_ps, clf_stats=new_cs,
+                                  opt_state=new_opt)
+        return new_state, mets
+
+    return step
+
+
 def make_eval_step(cfg: TrainConfig, processor, classifier):
     loss_fn_task = task_loss_fn(cfg)
 

@@ -188,3 +188,55 @@ def test_save_locally_writes_state(tmp_path, monkeypatch):
     from raw2logit_tpu.training import checkpoint as ckpt
     import os
     assert any(os.scandir(local))
+
+
+def test_staged_step_matches_monolithic():
+    """make_staged_train_step (four separately-jitted programs for
+    compile-budget-constrained backends) computes the same update and
+    metrics as the single-program make_train_step."""
+    import jax
+    import jax.numpy as jnp
+    from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
+    from raw2logit_tpu.isp import ParametrizedProcessing
+    from raw2logit_tpu.models import resnet_model
+    from raw2logit_tpu.training import (TrainConfig, create_train_state,
+                                        make_staged_train_step,
+                                        make_train_step)
+
+    cfg = TrainConfig(task="classification", lr=1e-3, augmentation="weak")
+    processor = ParametrizedProcessing(
+        camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=32)
+    classifier = resnet_model("resnet18", fc_out_features=3)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.uniform(size=(4, 32, 32)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=(4,)), jnp.int32)
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+    # SGD for the comparison: Adam normalizes by sqrt(v)+eps, which blows
+    # tiny float-reassociation gradient differences up to +-lr; SGD keeps
+    # the update linear in the gradient so tolerances are meaningful.
+    import optax
+    tx = optax.sgd(1e-3)
+    state = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+    staged = make_staged_train_step(cfg, processor, classifier, tx,
+                                    donate=False)
+    key = jax.random.key(7)
+    s_mono, m_mono = mono(state, raw, y, key)
+    s_staged, m_staged = staged(state, raw, y, key)
+
+    assert abs(float(m_mono["loss"]) - float(m_staged["loss"])) < 1e-5
+    assert float(m_mono["accuracy"]) == float(m_staged["accuracy"])
+
+    flat_mono = jax.tree_util.tree_leaves(
+        (s_mono.proc_params, s_mono.clf_params, s_mono.proc_stats,
+         s_mono.clf_stats))
+    flat_staged = jax.tree_util.tree_leaves(
+        (s_staged.proc_params, s_staged.clf_params, s_staged.proc_stats,
+         s_staged.clf_stats))
+    for a, b in zip(flat_mono, flat_staged):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)
