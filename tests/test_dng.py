@@ -1,0 +1,68 @@
+"""Built-in DNG reader: round-trip through the minimal writer, multi-strip
+assembly, ActiveArea cropping, big-endian, and the compressed-raise path
+(rawpy raw_image_visible analog; reference utils/dataset_utils.py:18-26)."""
+
+import numpy as np
+import pytest
+
+from raw2logit_tpu.data.datasets import load_image
+from raw2logit_tpu.data.dng import read_dng, write_dng
+
+
+def _mosaic(h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0, 1, (h, w)) * 65535).astype(np.uint16)
+
+
+def test_roundtrip_single_strip(tmp_path):
+    img = _mosaic()
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img)
+    out = read_dng(path)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_roundtrip_multi_strip(tmp_path):
+    img = _mosaic(h=40)
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, rows_per_strip=16)  # 3 strips (16+16+8)
+    np.testing.assert_array_equal(read_dng(path), img)
+
+
+def test_active_area_crop(tmp_path):
+    img = _mosaic(h=32, w=48)
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, active_area=(4, 8, 28, 40))
+    out = read_dng(path)
+    np.testing.assert_array_equal(out, img[4:28, 8:40])
+
+
+def test_uint8_raw(tmp_path):
+    img = (np.arange(32 * 32) % 251).astype(np.uint8).reshape(32, 32)
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img)
+    np.testing.assert_array_equal(read_dng(path), img)
+
+
+def test_compressed_raises_with_guidance(tmp_path):
+    img = _mosaic()
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, compression=7)  # lossless JPEG marker
+    with pytest.raises(ValueError, match="rawpy"):
+        read_dng(path)
+
+
+def test_not_a_tiff_raises(tmp_path):
+    path = tmp_path / "raw.dng"
+    path.write_bytes(b"definitely not a tiff")
+    with pytest.raises(ValueError, match="byte-order"):
+        read_dng(str(path))
+
+
+def test_load_image_dispatches_dng(tmp_path):
+    img = _mosaic()
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img)
+    out = load_image(path)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, img.astype(np.float32))
