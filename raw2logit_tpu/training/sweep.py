@@ -40,7 +40,10 @@ def build_grid(datasets, augmentations, epochs, batch_size, lr, n_splits,
 
 def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
               python=sys.executable):
-    manifest = {"jobs": [], "checkpoints": {}}
+    """checkpoints maps pipeline -> list of per-fold classifier checkpoints
+    (the A/B harness aggregates mean/std over them; state_dicts carries the
+    matching per-fold valid_indices files)."""
+    manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {}}
     for i, job in enumerate(jobs):
         if i % n_shards != shard:
             continue
@@ -52,11 +55,16 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
         job = dict(job, returncode=rc)
         manifest["jobs"].append(job)
         if rc == 0:
-            ckpt = os.path.join(
-                "results", "runs", f"sweep_{job['dataset']}",
-                job["run_name"], f"{job['run_name']}_0", "checkpoints",
-                "classifier")
-            manifest["checkpoints"][job["pipeline"]] = ckpt
+            n_splits = int(job["argv"][job["argv"].index("--n_splits") + 1])
+            run_dir = os.path.join("results", "runs",
+                                   f"sweep_{job['dataset']}",
+                                   job["run_name"])
+            folds = [os.path.join(run_dir, f"{job['run_name']}_{k}")
+                     for k in range(n_splits)]
+            manifest["checkpoints"][job["pipeline"]] = [
+                os.path.join(d, "checkpoints", "classifier") for d in folds]
+            manifest["state_dicts"][job["pipeline"]] = [
+                os.path.join(d, "state_dict.json") for d in folds]
     return manifest
 
 
