@@ -140,6 +140,47 @@ def test_get_dataset_aliases_hit_disk_classes(drone_root):
     assert ds.task == "segmentation" and len(ds) == 4
 
 
+def test_microscopy_rgb_variant_from_disk(microscopy_root):
+    """MRGB alias: same labels, images resolved under rgb_scale instead of
+    raw_scale (dataset.py:338-354)."""
+    import shutil
+    from raw2logit_tpu.data.datasets import MicroscopyDatasetRGB
+    raw_dir = os.path.join(microscopy_root, "microscopy", "images",
+                           "raw_scale100")
+    rgb_dir = raw_dir.replace("raw", "rgb")
+    os.makedirs(rgb_dir)
+    rng = np.random.default_rng(5)
+    for name in os.listdir(raw_dir):
+        arr = (rng.uniform(0, 1, (256, 256, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(rgb_dir, name))
+    ds = MicroscopyDatasetRGB(I_ratio=1.0, data_root=microscopy_root,
+                              bits=8)
+    assert len(ds) == 11
+    img, label = ds[0]
+    assert img.shape == (256, 256, 3)
+    assert "rgb_scale100" in ds.images[0]
+
+
+def test_drone_segmentation_full_from_disk(tmp_path):
+    """DSF alias reads full frames + masks (dataset.py:205-224)."""
+    from raw2logit_tpu.data.datasets import get_dataset
+    root = str(tmp_path)
+    img_dir = os.path.join(root, "drone", "images_full", "raw_scale100")
+    mask_dir = os.path.join(root, "drone", "masks_full")
+    os.makedirs(img_dir)
+    os.makedirs(mask_dir)
+    frames = _FullFrames()
+    for i, (img, mask) in enumerate(frames):
+        Image.fromarray(img).save(os.path.join(img_dir, f"f{i:02d}.tif"))
+        Image.fromarray(mask > 0).save(
+            os.path.join(mask_dir, f"f{i:02d}.png"))
+    ds = get_dataset("DSF", data_root=root)
+    assert len(ds) == 2
+    img, mask = ds[0]
+    assert img.shape == (2 * TILE, 3 * TILE)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+
 def test_train_step_on_disk_datasets(drone_root):
     """One full jitted train step fed from the files on disk (segmentation
     and binary classification)."""
