@@ -98,7 +98,34 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
         jax.block_until_ready(out)
 
     dt = time.perf_counter() - t0
+
+    # step-time / MFU note (VERDICT r1 item 2): XLA's own cost analysis of
+    # the already-cached compiled program; never fails the measurement.
+    try:
+        flops = None
+        if mode == "train":
+            ex = step.lower(state, raw, y,
+                            jax.random.fold_in(key, 0)).compile()
+            flops = _flops_of(ex)
+        elif mode == "infer":
+            flops = _flops_of(fwd.lower(raw).compile())
+        peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+        note = {"mode": mode, "step_ms": round(dt / steps * 1e3, 3),
+                "imgs_per_sec": round(batch * steps / dt, 2),
+                "flops_per_step": flops,
+                "mfu_vs_bf16_peak": (round(flops / (dt / steps) / peak, 4)
+                                     if flops else None)}
+        print("BENCH_NOTE " + json.dumps(note), file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"mfu note unavailable: {e}", file=sys.stderr)
+
     return batch * steps / dt
+
+
+def _flops_of(executable):
+    ca = executable.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0)) or None
 
 
 def _run_child(mode):
