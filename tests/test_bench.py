@@ -1,0 +1,72 @@
+"""bench.py driver logic: the auto fallback chain train -> train_staged ->
+infer, metric naming, and baseline ratios (the measurement itself is
+covered by measure_jax smokes; here the children are stubbed)."""
+
+import json
+import sys
+import types
+
+import pytest
+
+import bench
+
+
+@pytest.fixture()
+def fake_baseline(monkeypatch):
+    mod = types.ModuleType("torch_baseline")
+    mod.get_torch_baseline = lambda: 5.0
+    mod.measure_torch_cpu = lambda train=True: 17.0
+    monkeypatch.setitem(sys.modules, "torch_baseline", mod)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    return mod
+
+
+def _run_main(capsys):
+    bench.main()
+    out = [line for line in capsys.readouterr().out.splitlines()
+           if line.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_auto_falls_back_to_staged(monkeypatch, capsys, fake_baseline):
+    calls = []
+
+    def fake_child(mode):
+        calls.append(mode)
+        return {"train": None, "train_staged": 500.0}.get(mode)
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    monkeypatch.setenv("BENCH_MODE", "auto")
+    result = _run_main(capsys)
+    assert calls == ["train", "train_staged"]
+    assert result["metric"] == "raw2logit_train_throughput"
+    assert result["value"] == 500.0
+    assert result["vs_baseline"] == 100.0  # vs the 5.0 torch train baseline
+
+
+def test_auto_falls_back_to_infer(monkeypatch, capsys, fake_baseline,
+                                  tmp_path):
+    monkeypatch.chdir(tmp_path)
+
+    def fake_child(mode):
+        return 9900.0 if mode == "infer" else None
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    monkeypatch.setenv("BENCH_MODE", "auto")
+    result = _run_main(capsys)
+    assert result["metric"] == "raw2logit_infer_throughput"
+    assert result["vs_baseline"] == round(9900.0 / 17.0, 2)
+
+
+def test_train_mode_does_not_fall_back(monkeypatch, capsys, fake_baseline):
+    calls = []
+
+    def fake_child(mode):
+        calls.append(mode)
+        return None
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    monkeypatch.setenv("BENCH_MODE", "train")
+    result = _run_main(capsys)
+    assert calls == ["train"]
+    assert result["value"] is None and "error" in result
