@@ -190,26 +190,34 @@ def test_save_locally_writes_state(tmp_path, monkeypatch):
     assert any(os.scandir(local))
 
 
-def test_staged_step_matches_monolithic():
+@pytest.mark.parametrize("task", ["classification", "segmentation"])
+def test_staged_step_matches_monolithic(task):
     """make_staged_train_step (four separately-jitted programs for
     compile-budget-constrained backends) computes the same update and
-    metrics as the single-program make_train_step."""
+    metrics as the single-program make_train_step — including the
+    segmentation mask-replay path."""
     import jax
     import jax.numpy as jnp
     from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
     from raw2logit_tpu.isp import ParametrizedProcessing
-    from raw2logit_tpu.models import resnet_model
+    from raw2logit_tpu.models import UNetPlusPlus, resnet_model
     from raw2logit_tpu.training import (TrainConfig, create_train_state,
                                         make_staged_train_step,
                                         make_train_step)
 
-    cfg = TrainConfig(task="classification", lr=1e-3, augmentation="weak")
+    cfg = TrainConfig(task=task, lr=1e-3, augmentation="weak")
     processor = ParametrizedProcessing(
         camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=32)
-    classifier = resnet_model("resnet18", fc_out_features=3)
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(4, 32, 32)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 3, size=(4,)), jnp.int32)
+    if task == "classification":
+        classifier = resnet_model("resnet18", fc_out_features=3)
+        y = jnp.asarray(rng.integers(0, 3, size=(4,)), jnp.int32)
+    else:
+        classifier = UNetPlusPlus(encoder_name="resnet18", encoder_depth=5,
+                                  decoder_channels=(64, 32, 16, 16, 16),
+                                  classes=1)
+        y = jnp.asarray(rng.integers(0, 2, size=(4, 32, 32)), jnp.float32)
     state, _ = create_train_state(cfg, processor, classifier, raw,
                                   jax.random.key(0))
     # SGD for the comparison: Adam normalizes by sqrt(v)+eps, which blows
@@ -228,7 +236,8 @@ def test_staged_step_matches_monolithic():
     s_staged, m_staged = staged(state, raw, y, key)
 
     assert abs(float(m_mono["loss"]) - float(m_staged["loss"])) < 1e-5
-    assert float(m_mono["accuracy"]) == float(m_staged["accuracy"])
+    mkey = "accuracy" if task == "classification" else "iou_score"
+    assert abs(float(m_mono[mkey]) - float(m_staged[mkey])) < 1e-6
 
     flat_mono = jax.tree_util.tree_leaves(
         (s_mono.proc_params, s_mono.clf_params, s_mono.proc_stats,
