@@ -77,7 +77,11 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
         for i in range(steps):
             state, mets = step(state, raw, y,
                                jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(mets["loss"])
+        # fetch the value (D2H) rather than trust block_until_ready alone:
+        # on plugin backends an early-returning ready-event would silently
+        # inflate throughput; a value fetch cannot complete early
+        final_loss = float(mets["loss"])
+        assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
     else:  # inference
         pvars = {"params": state.proc_params,
                  "batch_stats": state.proc_stats}
@@ -95,7 +99,7 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fwd(raw)
-        jax.block_until_ready(out)
+        assert np.isfinite(float(out[0, 0])), "non-finite logits"
 
     dt = time.perf_counter() - t0
 
