@@ -123,18 +123,31 @@ class ABTesting:
                         drop_last=False)
         key = jax.random.key(seed)
 
+        def padded(raw):
+            """Pad the last partial batch to the full batch size: a ragged
+            final batch would respecialize the jitted program per distinct
+            shape — a fresh (remote, slow) compile per subset size on TPU.
+            Returns (padded_raw, n_valid)."""
+            n = raw.shape[0]
+            if n == self.batch_size:
+                return raw, n
+            pad = np.repeat(raw[:1], self.batch_size - n, axis=0)
+            return np.concatenate([raw, pad], axis=0), n
+
         if self.task == "classification":
             cm = ConfusionMetrics(len(self.dataset.classes))
             for raw, y in loader:
                 key, sub = jax.random.split(key)
-                logits = run(jnp.asarray(raw), sub)
-                cm.update(np.argmax(np.asarray(logits), axis=-1), y)
+                raw_p, n = padded(np.asarray(raw))
+                logits = run(jnp.asarray(raw_p), sub)
+                cm.update(np.argmax(np.asarray(logits)[:n], axis=-1), y)
             return cm.summary()
 
         ious = []
         for raw, y in loader:
             key, sub = jax.random.split(key)
-            logits = run(jnp.asarray(raw), sub)
+            raw_p, n = padded(np.asarray(raw))
+            logits = run(jnp.asarray(raw_p), sub)[:n]
             probs = jax.nn.sigmoid(logits)
             ious.append(float(iou_score(probs, jnp.asarray(y))))
         return {"iou": float(np.mean(ious))}
