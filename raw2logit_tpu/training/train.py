@@ -135,6 +135,11 @@ def build_parser():
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train steps "
                         "into the run dir")
+    p.add_argument("--staged_step", action="store_true",
+                   help="use the four-program staged train step (identical "
+                        "update; each program compiles separately — for "
+                        "remote-compile backends where the monolithic "
+                        "step's compile exceeds budget)")
     p.add_argument("--checkpoint_every_n_epochs", type=int, default=0,
                    help="periodic checkpointing for failure recovery "
                         "(0 = only final)")
@@ -370,7 +375,15 @@ def run_train(args):
         if args.processor_uri or args.classifier_uri or pretrained_applied:
             state = jax.device_put(state, replicated_sharding(mesh))
 
-        train_step = make_train_step(cfg, processor, classifier, tx)
+        if args.staged_step and not cfg.adv_training:
+            from raw2logit_tpu.training.core import make_staged_train_step
+            train_step = make_staged_train_step(cfg, processor, classifier,
+                                                tx)
+        else:
+            if args.staged_step:
+                print("note: --staged_step does not cover adversarial "
+                      "mode; using the monolithic step")
+            train_step = make_train_step(cfg, processor, classifier, tx)
         eval_step = make_eval_step(cfg, processor, classifier)
 
         key = jax.random.key(args.seed + k_iter)
