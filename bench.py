@@ -134,7 +134,8 @@ def _flops_of(executable):
 
 def _run_child(mode):
     """Run one measurement in a watchdog subprocess; imgs/sec or None."""
-    budget = int(os.environ.get("BENCH_COMPILE_BUDGET", 1500))
+    default = 2700 if mode == "train_staged" else 1500
+    budget = int(os.environ.get("BENCH_COMPILE_BUDGET", default))
     code = (f"import bench, json; "
             f"v = bench.measure_jax(mode='{mode}'); "
             f"print('BENCH_RESULT ' + json.dumps(v))")
