@@ -221,13 +221,18 @@ def _fwd(raw, params):
 def _bwd(res, g):
     raw, params = res
     import os
-    if os.environ.get("R2L_FUSED_BWD", "jnp") == "pallas":
-        # hand-written recompute backward kernel (fused_isp_bwd.py).
-        # NOTE: verified against autodiff in interpreter mode; on real TPU
-        # the current Mosaic release refuses the kernel's concatenations
-        # ("result/input offset mismatch on non-concat dimension"), so the
-        # default backward differentiates the numerically-identical jnp
-        # composition instead (XLA fuses it well).
+    # Default: the hand-written recompute backward kernel on real TPU
+    # (fused_isp_bwd.py) — lands Mosaic-clean since the pad/fold algebra
+    # moved to selector-matrix matmuls, runs ~0.11 ms for a 256^2 batch of
+    # 8, and keeps the step's HLO small (the jnp-autodiff ISP backward is
+    # a program large enough that this environment's remote compile helper
+    # gets OOM-killed on it at bench batch sizes). Elsewhere (CPU mesh):
+    # differentiate the numerically-identical jnp composition — the truth
+    # source, and interpret-mode Pallas would be slow. R2L_FUSED_BWD
+    # overrides either way ('pallas' | 'jnp').
+    choice = os.environ.get("R2L_FUSED_BWD",
+                            "pallas" if _is_tpu() else "jnp")
+    if choice == "pallas":
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         return fused_isp_bwd_pallas(raw, params, g,
                                     interpret=not _is_tpu())

@@ -16,6 +16,13 @@ Adjoint bookkeeping (the fiddly part): forward pads are
   * blur:    2-px torch-'reflect'  -> backward: full-corr + reflect-fold-2
 where full-corr(x, K)[u,v] = sum_ab K[a,b] x[u-a, v-b] over a zero-extended
 x (the transpose of a VALID correlation).
+
+Padding/folding is expressed as 0/1 SELECTOR-MATRIX MATMULS (pad2d(x) =
+P_h x P_w^T, fold = its exact transpose P_h^T g P_w): Mosaic has no
+lowering for dynamic_update_slice, and both concatenate and lax.pad reject
+operands that carry sublane/lane layout offsets (the stencil slices here
+always do); iota-built selector matmuls are layout-offset-agnostic and run
+on the MXU. precision=HIGHEST keeps the 0/1 products exact in float32.
 """
 
 import jax
@@ -26,57 +33,60 @@ from jax.experimental.pallas import tpu as pltpu
 from raw2logit_tpu.ops import constants
 
 
-def _embed(x, k):
-    """Zero-embed x (h, w) at offset k into an (h+2k, w+2k) canvas.
+def _mm(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
 
-    No concatenate: Mosaic rejects concatenations whose operands carry
-    sublane/lane layout offsets ("offset mismatch on non-concat
-    dimension"); a static-index set lowers to pad/select instead."""
+
+def _pad_mat(n, k, mode, transpose=False):
+    """(n+2k, n) 0/1 selector P with (P @ x) padding axis 0 of x by k
+    ('zero' borders or torch-'reflect' borrow); transpose=True builds P^T
+    directly (avoids a transpose op in the kernel)."""
+    shape = (n, n + 2 * k) if transpose else (n + 2 * k, n)
+    pad_ax, src_ax = (1, 0) if transpose else (0, 1)
+    I = jax.lax.broadcasted_iota(jnp.int32, shape, pad_ax)  # padded index
+    J = jax.lax.broadcasted_iota(jnp.int32, shape, src_ax)  # source index
+    sel = J == I - k
+    if mode == "reflect":
+        if k == 1:
+            sel |= (I == 0) & (J == 1)
+            sel |= (I == n + 1) & (J == n - 2)
+        else:
+            sel |= (I == 0) & (J == 2)
+            sel |= (I == 1) & (J == 1)
+            sel |= (I == n + 2) & (J == n - 2)
+            sel |= (I == n + 3) & (J == n - 3)
+    return sel.astype(jnp.float32)
+
+
+def _pad2d(x, k, mode):
+    """Pad both axes by k: P_h @ x @ P_w^T."""
     h, w = x.shape
-    canvas = jnp.zeros((h + 2 * k, w + 2 * k), x.dtype)
-    return jax.lax.dynamic_update_slice(canvas, x, (k, k))
+    return _mm(_mm(_pad_mat(h, k, mode), x),
+               _pad_mat(w, k, mode, transpose=True))
 
 
-def _borrow(p, axis, dst, src):
-    """p[dst] <- p[src] along axis via masked roll (concat-free border
-    fill; roll(p, s)[i] == p[i - s])."""
-    rolled = pltpu.roll(p, (dst - src) % p.shape[axis], axis=axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, p.shape, axis)
-    return jnp.where(idx == dst, rolled, p)
+def _fold2d(gp, k, mode):
+    """Exact adjoint of _pad2d: P_h^T @ gp @ P_w."""
+    h, w = gp.shape[0] - 2 * k, gp.shape[1] - 2 * k
+    return _mm(_mm(_pad_mat(h, k, mode, transpose=True), gp),
+               _pad_mat(w, k, mode))
 
 
 def _pad1_reflect(x):
-    """1-px torch-'reflect' (exclusive) pad, rows then cols."""
-    h, w = x.shape
-    p = _embed(x, 1)                       # interior at rows/cols 1..h
-    p = _borrow(p, 0, 0, 2)                # row 0    <- x[1]
-    p = _borrow(p, 0, h + 1, h - 1)        # row h+1  <- x[h-2]
-    p = _borrow(p, 1, 0, 2)
-    p = _borrow(p, 1, w + 1, w - 1)
-    return p
+    return _pad2d(x, 1, "reflect")
 
 
 def _pad2_reflect(x):
-    """2-px torch-'reflect' pad."""
-    h, w = x.shape
-    p = _embed(x, 2)                       # interior at rows/cols 2..h+1
-    p = _borrow(p, 0, 0, 4)                # row 0    <- x[2]
-    p = _borrow(p, 0, 1, 3)                # row 1    <- x[1]
-    p = _borrow(p, 0, h + 2, h)            # row h+2  <- x[h-2]
-    p = _borrow(p, 0, h + 3, h - 1)        # row h+3  <- x[h-3]
-    p = _borrow(p, 1, 0, 4)
-    p = _borrow(p, 1, 1, 3)
-    p = _borrow(p, 1, w + 2, w)
-    p = _borrow(p, 1, w + 3, w - 1)
-    return p
+    return _pad2d(x, 2, "reflect")
 
 
 def _pad1_zero(x):
-    return _embed(x, 1)
+    return _pad2d(x, 1, "zero")
 
 
 def _padk_zero(x, k):
-    return _embed(x, k)
+    return _pad2d(x, k, "zero")
 
 
 def _stencil(xp, k_ref, ksize, h, w, flip=False, base=(0, 0)):
@@ -100,79 +110,14 @@ def _conv_full(x, k_ref, ksize, base=(0, 0)):
                     flip=True, base=base)
 
 
-def _shifted(x, dr, dc, out_h, out_w):
-    """Offset-0 (out_h, out_w) window of x starting at (dr, dc) via roll."""
-    y = x
-    if dr:
-        y = pltpu.roll(y, -dr % x.shape[0], axis=0)
-    if dc:
-        y = pltpu.roll(y, -dc % x.shape[1], axis=1)
-    return y[0:out_h, 0:out_w]
-
-
-def _row_mask(h, w, row):
-    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) == row
-
-
-def _col_mask(h, w, col):
-    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) == col
-
-
-def _fold_axis1(a, k, w):
-    """Adjoint of k-px reflect pad on axis 1: a (R, W+2k) -> (R, W)."""
-    r = a.shape[0]
-    out = _shifted(a, 0, k, r, w)
-    if k == 1:
-        # pad cols: [x1 | x | x_{w-2}]
-        out = out + jnp.where(_col_mask(r, w, 1),
-                              _shifted(a, 0, -1, r, w), 0.0)
-        out = out + jnp.where(_col_mask(r, w, w - 2),
-                              _shifted(a, 0, 3, r, w), 0.0)
-    else:
-        # pad cols: [x2, x1 | x | x_{w-2}, x_{w-3}]
-        out = out + jnp.where(_col_mask(r, w, 2),
-                              _shifted(a, 0, -2, r, w), 0.0)
-        out = out + jnp.where(_col_mask(r, w, 1),
-                              _shifted(a, 0, 0, r, w), 0.0)
-        out = out + jnp.where(_col_mask(r, w, w - 2),
-                              _shifted(a, 0, 4, r, w), 0.0)
-        out = out + jnp.where(_col_mask(r, w, w - 3),
-                              _shifted(a, 0, 6, r, w), 0.0)
-    return out
-
-
-def _fold_axis0(a, k, h):
-    """Adjoint of k-px reflect pad on axis 0: a (H+2k, C) -> (H, C)."""
-    c = a.shape[1]
-    out = _shifted(a, k, 0, h, c)
-    if k == 1:
-        out = out + jnp.where(_row_mask(h, c, 1),
-                              _shifted(a, -1, 0, h, c), 0.0)
-        out = out + jnp.where(_row_mask(h, c, h - 2),
-                              _shifted(a, 3, 0, h, c), 0.0)
-    else:
-        out = out + jnp.where(_row_mask(h, c, 2),
-                              _shifted(a, -2, 0, h, c), 0.0)
-        out = out + jnp.where(_row_mask(h, c, 1),
-                              _shifted(a, 0, 0, h, c), 0.0)
-        out = out + jnp.where(_row_mask(h, c, h - 2),
-                              _shifted(a, 4, 0, h, c), 0.0)
-        out = out + jnp.where(_row_mask(h, c, h - 3),
-                              _shifted(a, 6, 0, h, c), 0.0)
-    return out
-
-
 def _fold1_reflect(gp):
-    """Adjoint of the 1-px torch-'reflect' pad (rows-then-cols forward,
-    so cols-then-rows adjoint): gp (H+2, W+2) -> (H, W)."""
-    h, w = gp.shape[0] - 2, gp.shape[1] - 2
-    return _fold_axis0(_fold_axis1(gp, 1, w), 1, h)
+    """Adjoint of the 1-px torch-'reflect' pad: gp (H+2, W+2) -> (H, W)."""
+    return _fold2d(gp, 1, "reflect")
 
 
 def _fold2_reflect(gp):
     """Adjoint of the 2-px reflect pad: gp (H+4, W+4) -> (H, W)."""
-    h, w = gp.shape[0] - 4, gp.shape[1] - 4
-    return _fold_axis0(_fold_axis1(gp, 2, w), 2, h)
+    return _fold2d(gp, 2, "reflect")
 
 
 def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
@@ -347,6 +292,11 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret):
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
+            # the unrolled recompute keeps ~90 (H, W) f32 planes live at
+            # 256^2; the 16 MB default scoped-vmem stack is too small
+            # (v5e has 128 MB VMEM)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(raw, g_planar, bl, kdeb2, a, minv, ksharp, kblur, gamma)
 
     # reduce per-image partials and chain dA -> (dwb, dccm)

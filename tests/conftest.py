@@ -7,8 +7,10 @@ multi-chip dry-run environment).
 import os
 
 # FORCE cpu: the image sets JAX_PLATFORMS=axon (tunneled TPU); tests must
-# never contend for the single real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# never contend for the single real chip. R2L_TEST_TPU=1 opts out for the
+# TPU-gated hardware tests (run those alone, with the TPU free).
+if os.environ.get("R2L_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
