@@ -111,6 +111,23 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
             ex = step.lower(state, raw, y,
                             jax.random.fold_in(key, 0)).compile()
             flops = _flops_of(ex)
+        elif mode == "train_staged":
+            # sum XLA's cost analysis over the four staged programs
+            from raw2logit_tpu.training.core import make_staged_train_step
+            flops = 0.0
+            for prog, args in (
+                    (step.programs["isp_fwd"],
+                     (state.proc_params, state.proc_stats, raw)),
+                    (step.programs["clf_grad"],
+                     (state.clf_params, state.clf_stats,
+                      jnp.zeros(raw.shape + (3,), jnp.float32), y,
+                      jax.random.fold_in(key, 0))),
+                    (step.programs["isp_bwd"],
+                     (state.proc_params, state.proc_stats, raw,
+                      jnp.zeros(raw.shape + (3,), jnp.float32))),
+            ):
+                flops += _flops_of(prog.lower(*args).compile()) or 0.0
+            flops = flops or None
         elif mode == "infer":
             flops = _flops_of(fwd.lower(raw).compile())
         peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
@@ -147,6 +164,9 @@ def _run_child(mode):
         print(f"bench mode={mode} exceeded {budget}s budget",
               file=sys.stderr)
         return None
+    for line in proc.stderr.splitlines():
+        if line.startswith("BENCH_NOTE "):  # step-time/MFU side channel
+            print(line, file=sys.stderr)
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
             return float(line.split()[1])
@@ -163,17 +183,23 @@ def main():
     grace = int(os.environ.get("BENCH_GRANT_GRACE", 90))
     value = None
     used_mode = "train"
-    if mode in ("auto", "train"):
-        value = _run_child("train")
-    if value is None and mode in ("auto", "train_staged"):
-        # monolithic step didn't come up within budget — fall back to the
-        # staged four-program train step (identical update, each program
-        # compiles separately; training/core.py). A killed child leaves a
-        # stale single-tenant TPU grant; let the relay release it first.
-        if mode == "auto":
-            time.sleep(grace)
-        used_mode = "train"
+    if mode in ("auto", "train_staged"):
+        # staged four-program train step FIRST (identical update; each
+        # program compiles separately, training/core.py). Measured r2: the
+        # monolithic program, when its compile lands at all, executes ~35x
+        # SLOWER than the staged step on this backend (3.3 vs 115.7
+        # imgs/s — pathological lowering of the fused pallas+resnet+adam
+        # graph), so staged is the primary measurement, monolith an
+        # upside attempt.
         value = _run_child("train_staged")
+    if mode in ("auto", "train"):
+        if mode == "auto":
+            # a killed/finished child leaves a stale single-tenant TPU
+            # grant; let the relay release it first
+            time.sleep(grace)
+        mono = _run_child("train")
+        if mono is not None and (value is None or mono > value):
+            value = mono
     if value is None and mode in ("auto", "infer"):
         time.sleep(grace)
         used_mode = "infer"

@@ -349,6 +349,10 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                                   opt_state=new_opt)
         return new_state, mets
 
+    # expose the constituent jitted programs (bench cost analysis,
+    # per-program profiling)
+    step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
+                     "isp_bwd": isp_bwd, "opt_apply": opt_apply}
     return step
 
 
