@@ -189,12 +189,11 @@ def main():
     used_mode = "train"
     if mode in ("auto", "train_staged"):
         # staged four-program train step FIRST (identical update; each
-        # program compiles separately, training/core.py). Measured r2: the
-        # monolithic program, when its compile lands at all, executes ~35x
-        # SLOWER than the staged step on this backend (3.3 vs 115.7
-        # imgs/s — pathological lowering of the fused pallas+resnet+adam
-        # graph), so staged is the primary measurement, monolith an
-        # upside attempt.
+        # program compiles within a budget window, training/core.py), the
+        # monolith second as an upside attempt — the two measure within
+        # ~2% of each other once warmed (r2: 2216 vs 2249 imgs/s), but
+        # the monolith's single-program compile is the one at risk of
+        # blowing the budget. Best of the two is reported.
         value = _run_child("train_staged")
     if mode in ("auto", "train"):
         if mode == "auto":

@@ -1,7 +1,7 @@
-"""bench.py driver logic: auto mode measures staged first then takes the
-best of staged/monolithic (measured r2: the monolith can compile yet run
-~35x slower), falls back to infer; metric naming and baseline ratios (the
-measurement itself is covered by measure_jax smokes; children stubbed)."""
+"""bench.py driver logic: auto mode measures staged first (its programs
+compile within budget windows) then takes the best of staged/monolithic,
+falling back to infer; metric naming and baseline ratios (the measurement
+itself is covered by measure_jax smokes; children stubbed)."""
 
 import json
 import sys
