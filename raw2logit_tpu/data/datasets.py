@@ -161,6 +161,17 @@ class Subset:
 
     def __getattr__(self, name):
         # surface task/classes/camera_parameters of the wrapped dataset
+        if name in ("dataset", "indices"):  # guard: partially-initialized
+            raise AttributeError(name)
+        if name == "gather":
+            # batched access must go THROUGH the subset's index mapping:
+            # plain forwarding would hand the store subset-relative
+            # positions and silently read the wrong rows. Exists only
+            # when the wrapped dataset is gatherable (else AttributeError
+            # propagates and Loader takes the per-item path).
+            base_gather = getattr(self.dataset, "gather")
+            indices = self.indices
+            return lambda idx: base_gather([indices[int(i)] for i in idx])
         return getattr(self.dataset, name)
 
 
@@ -354,14 +365,19 @@ class MicroscopyDataset(FolderClassification):
     valid_classes = ["BAS", "EBO", "EOS", "KSC", "LYA", "LYT", "MMZ", "MOB",
                      "MON", "MYB", "MYO", "NGB", "NGS", "PMB", "PMO", "UNC"]
     invalid_files = ["Ma190c_lame3_zone13_composite_Mcropped_2.tiff"]
+    _scale_prefix = "raw_scale"  # MicroscopyDatasetRGB reads rgb_scale*
 
     def __init__(self, I_ratio=1.0, data_root="data", bits=16,
                  force_download=False):
-        img_dir = os.path.join(data_root, "microscopy", "images",
-                               _scale_dir(I_ratio))
+        img_dir = os.path.join(
+            data_root, "microscopy", "images",
+            _scale_dir(I_ratio).replace("raw_scale", self._scale_prefix))
         label_file = os.path.join(data_root, "microscopy", "labels",
                                   "Ma190c_annotations.dat")
-        if force_download or not os.path.exists(label_file):
+        # gate on BOTH pieces: a synced label file with a missing image
+        # dir would otherwise construct fine and fail per-item mid-train
+        if (force_download or not os.path.exists(label_file)
+                or not os.path.isdir(img_dir)):
             from raw2logit_tpu.data.download import \
                 download_microscopy_dataset
             download_microscopy_dataset(data_root=data_root,
@@ -385,17 +401,12 @@ class MicroscopyDataset(FolderClassification):
 
 class MicroscopyDatasetRGB(MicroscopyDataset):
     """RGB variant: same labels, images under rgb_scale* (reference
-    dataset.py:338-354)."""
+    dataset.py:338-354 did a post-hoc 'raw'->'rgb' path hack; here the
+    prefix drives path construction AND the download gate, so an
+    RGB-only sync works)."""
 
     camera_parameters = None
-
-    def __init__(self, I_ratio=1.0, data_root="data", bits=16,
-                 force_download=False):
-        super().__init__(I_ratio=I_ratio, data_root=data_root, bits=bits,
-                         force_download=force_download)
-        self.images = [p.replace("raw_scale", "rgb_scale")
-                       for p in self.images]
-        self.img_dir = self.img_dir.replace("raw_scale", "rgb_scale")
+    _scale_prefix = "rgb_scale"
 
 
 # ---------------------------------------------------------------------------

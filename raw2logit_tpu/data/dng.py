@@ -33,8 +33,10 @@ _TAG_ACTIVE_AREA = 50829
 
 _PHOTOMETRIC_CFA = 32803  # DNG: color-filter-array raw
 
-# TIFF field types -> (struct char, byte size)
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 16: ("Q", 8)}
+# TIFF field types -> (struct char, byte size); 13 is IFD (a LONG offset,
+# the type DNG/TIFF-EP permits for SubIFDs alongside plain LONG)
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 13: ("I", 4),
+          16: ("Q", 8)}
 
 
 def _read_ifd(buf, order, offset):
@@ -166,7 +168,8 @@ def _pack_entries(order, entries, heap, heap_base):
 
 
 def write_dng(path, img, rows_per_strip=None, active_area=None,
-              compression=1, big_endian=False, use_subifd=False):
+              compression=1, big_endian=False, use_subifd=False,
+              subifd_type=4):
     """Write a minimal uncompressed CFA DNG (testing/synthesis aid).
 
     Args:
@@ -227,7 +230,7 @@ def write_dng(path, img, rows_per_strip=None, active_area=None,
             (_TAG_NEW_SUBFILE_TYPE, 4, [1]),  # reduced-resolution stub
             (_TAG_WIDTH, 4, [1]),
             (_TAG_LENGTH, 4, [1]),
-            (_TAG_SUB_IFDS, 4, [raw_ifd_off]),
+            (_TAG_SUB_IFDS, subifd_type, [raw_ifd_off]),
         ]
         # heap for ifd0 sits after the raw IFD — recompute base
         ifd0_off = raw_ifd_off + len(raw_blob)

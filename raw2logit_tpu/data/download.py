@@ -46,10 +46,25 @@ def fetch(url, dst, expected_size=None, expected_md5=None, timeout=60):
     os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
 
     start = os.path.getsize(part) if os.path.exists(part) else 0
+    if expected_size is not None and start >= expected_size:
+        # a stale/oversized partial can't be resumed (the Range request
+        # would sit at/past EOF -> HTTP 416 forever); start fresh
+        os.remove(part)
+        start = 0
     req = urllib.request.Request(url)
     if start:
         req.add_header("Range", f"bytes={start}-")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
+    try:
+        resp_cm = urllib.request.urlopen(req, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        if e.code != 416 or not start:
+            raise
+        # server rejects the resume point (file changed/shrank) — refetch
+        os.remove(part)
+        start = 0
+        resp_cm = urllib.request.urlopen(urllib.request.Request(url),
+                                         timeout=timeout)
+    with resp_cm as resp:
         resumed = resp.status == 206
         mode = "ab" if (start and resumed) else "wb"
         with open(part, mode) as fh:
@@ -120,7 +135,12 @@ def b2_download_folder(b2_dir, local_dir, force_download=False,
     """Reference call surface (utils/base.py:134-160) served from the
     Zenodo mirror. Raises FileNotFoundError with manual instructions when
     the mirror is unreachable."""
-    if os.path.isdir(local_dir) and os.listdir(local_dir) \
+    def _complete_content(d):
+        # .part leftovers are NOT content — treating them as such would
+        # skip the sync and strand the resume logic in fetch()
+        return any(not name.endswith(".part") for name in os.listdir(d))
+
+    if os.path.isdir(local_dir) and _complete_content(local_dir) \
             and not force_download:
         return local_dir
     folder = mirror_folder or _B2_TO_RECORD.get(b2_dir, b2_dir)

@@ -43,7 +43,6 @@ class Loader:
         self.mesh = mesh
         self.prefetch = prefetch
         self._epoch = 0
-        self._gather_lock = threading.Lock()
 
     def __len__(self):
         n = len(self.dataset)
@@ -60,10 +59,10 @@ class Loader:
 
     def _assemble(self, indices):
         if hasattr(self.dataset, "gather"):
-            # native tile store: threaded gather; serialize calls (the
-            # store hands out views into one mmap)
-            with self._gather_lock:
-                xs, ys = self.dataset.gather(indices)
+            # native tile store (or a Subset view of one): batched,
+            # threaded gather; the store itself serializes gathers
+            # against close() (tilestore.py TileStore._lock)
+            xs, ys = self.dataset.gather(indices)
         else:
             items = [self.dataset[int(i)] for i in indices]
             xs = np.stack([np.asarray(x, np.float32) for x, _ in items])

@@ -53,9 +53,17 @@ def _load_lib():
     return lib
 
 
-def build_store(dataset, path, dtype=np.float32, n_threads=0):
-    """Materialize an indexable (img, label) dataset into a .r2l store."""
-    lib = _load_lib()
+_HEADER_FIELDS = 7  # magic, n, h, w, c, dtype, label_kind (u64 each)
+_MAGIC = 0x52324C54494C4531
+
+
+def build_store(dataset, path, dtype=np.float32):
+    """Materialize an indexable (img, label) dataset into a .r2l store.
+
+    Streams item-by-item through a numpy memmap of the (fixed-layout)
+    file, so building from large full-frame datasets never holds more
+    than one decoded item in RAM (the batch-sized C path, r2l_write,
+    remains for in-memory buffers)."""
     n = len(dataset)
     if n == 0:
         raise ValueError("empty dataset")
@@ -72,23 +80,30 @@ def build_store(dataset, path, dtype=np.float32, n_threads=0):
                 else "classification")
     label_kind = 0 if task == "classification" else 1
 
-    imgs = np.empty((n,) + x0.shape, dtype)
+    header = np.array([_MAGIC, n, h, w, c, code, label_kind], np.uint64)
+    data_off = _HEADER_FIELDS * 8
+    item_elems = (n,) + x0.shape
+    labels_off = data_off + int(np.prod(item_elems)) * dtype.itemsize
     if label_kind == 0:
-        labels = np.empty((n,), np.int64)
+        label_shape, label_dtype = (n,), np.int64
     else:
-        labels = np.empty((n, h, w), np.float32)
+        label_shape, label_dtype = (n, h, w), np.float32
+    total = labels_off + int(np.prod(label_shape)) * \
+        np.dtype(label_dtype).itemsize
+
+    with open(path, "wb") as fh:
+        fh.truncate(total)
+    hdr = np.memmap(path, np.uint64, "r+", 0, (_HEADER_FIELDS,))
+    hdr[:] = header
+    hdr.flush()
+    imgs = np.memmap(path, dtype, "r+", data_off, item_elems)
+    labels = np.memmap(path, label_dtype, "r+", labels_off, label_shape)
     for i in range(n):
         x, y = dataset[i]
         imgs[i] = np.asarray(x, dtype)
         labels[i] = np.asarray(y)
-
-    imgs = np.ascontiguousarray(imgs)
-    labels = np.ascontiguousarray(labels)
-    rc = lib.r2l_write(path.encode(), n, h, w, c, code, label_kind,
-                       imgs.ctypes.data_as(ctypes.c_void_p),
-                       labels.ctypes.data_as(ctypes.c_void_p))
-    if rc != 0:
-        raise IOError(f"r2l_write failed rc={rc} for {path}")
+    imgs.flush()
+    labels.flush()
     return path
 
 

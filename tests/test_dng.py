@@ -66,3 +66,20 @@ def test_load_image_dispatches_dng(tmp_path):
     out = load_image(path)
     assert out.dtype == np.float32
     np.testing.assert_array_equal(out, img.astype(np.float32))
+
+
+@pytest.mark.parametrize("subifd_type", [4, 13])
+def test_subifd_walk(tmp_path, subifd_type):
+    """Real DNGs park the CFA IFD under a stub IFD0's SubIFDs tag — with
+    field type LONG (4) or IFD (13, TIFF-EP); both must be walked."""
+    img = _mosaic()
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, use_subifd=True, subifd_type=subifd_type)
+    np.testing.assert_array_equal(read_dng(path), img)
+
+
+def test_big_endian_roundtrip(tmp_path):
+    img = _mosaic()
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, big_endian=True)
+    np.testing.assert_array_equal(read_dng(path), img)

@@ -113,3 +113,28 @@ def test_unzip_all(tmp_path):
     unzip_all(str(tmp_path))
     assert (tmp_path / "inner.txt").read_text() == "hello"
     assert not (tmp_path / "a.zip").exists()
+
+
+def test_fetch_discards_oversized_partial(server, tmp_path):
+    """A .part at/past the expected size cannot be resumed (Range at EOF
+    -> HTTP 416 forever); fetch must restart it."""
+    dst = str(tmp_path / "blob.bin")
+    with open(dst + ".part", "wb") as fh:
+        fh.write(b"\0" * (len(PAYLOAD) + 10))
+    fetch(f"{server}/data", dst, expected_size=len(PAYLOAD),
+          expected_md5=hashlib.md5(PAYLOAD).hexdigest())
+    with open(dst, "rb") as fh:
+        assert fh.read() == PAYLOAD
+
+
+def test_b2_skip_ignores_part_leftovers(server, tmp_path):
+    """A directory holding only .part leftovers is NOT synced content;
+    the skip must not strand the resume."""
+    local = str(tmp_path / "folder")
+    os.makedirs(local)
+    with open(os.path.join(local, "blob.bin.part"), "wb") as fh:
+        fh.write(PAYLOAD[:100])
+    out = b2_download_folder("folder", local, api_url=f"{server}/api",
+                             mirror_folder="folder")
+    with open(os.path.join(out, "blob.bin"), "rb") as fh:
+        assert fh.read() == PAYLOAD

@@ -68,3 +68,24 @@ def test_store_with_loader(tmp_path):
     xs, ys = next(iter(loader))
     assert xs.shape == (4, 32, 32)
     store.close()
+
+
+def test_subset_of_store_gathers_mapped_rows(tmp_path):
+    """Subset must route gather through its index mapping — plain
+    attribute forwarding would hand the store subset-relative positions
+    and silently train on the wrong tiles."""
+    from raw2logit_tpu.data import Loader, Subset
+    ds = SyntheticRawClassification(n=8, h=16, w=16, seed=4)
+    path = str(tmp_path / "sub.r2l")
+    build_store(ds, path)
+    store = TileStore(path, task="auto")
+    sub = Subset(store, [5, 2, 7])
+    imgs, labels = sub.gather([0, 2])
+    np.testing.assert_allclose(imgs[0], ds[5][0], atol=1e-6)
+    np.testing.assert_allclose(imgs[1], ds[7][0], atol=1e-6)
+    # through the Loader fast path too
+    xs, ys = next(iter(Loader(sub, batch_size=3, shuffle=False)))
+    np.testing.assert_allclose(xs[1], ds[2][0], atol=1e-6)
+    # a Subset of a plain dataset must NOT claim gather
+    assert not hasattr(Subset(ds, [0, 1]), "gather")
+    store.close()
