@@ -119,7 +119,6 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
             flops = _flops_of(ex)
         elif mode == "train_staged":
             # sum XLA's cost analysis over the four staged programs
-            from raw2logit_tpu.training.core import make_staged_train_step
             flops = 0.0
             for prog, args in (
                     (step.programs["isp_fwd"],
@@ -206,7 +205,8 @@ def main():
         if mono is not None and (value is None or mono > value):
             value = mono
     if value is None and mode in ("auto", "infer"):
-        time.sleep(grace)
+        if mode == "auto":  # grace only after a previous child's grant
+            time.sleep(grace)
         used_mode = "infer"
         value = _run_child("infer")
     if value is None:

@@ -137,7 +137,11 @@ def _pack_params(params):
     wb = jnp.asarray(params["white_balance"], jnp.float32).reshape(3)
     ccm = jnp.asarray(params["colour_correction"], jnp.float32).reshape(3, 3)
     m_yuv = jnp.asarray(constants.M_RGB_2_YUV, jnp.float32)
-    a = m_yuv @ ccm @ jnp.diag(wb)
+    # HIGHEST like every ISP matmul: the TPU default truncates operands
+    # to bf16 and the error in A multiplies every pixel (parity contract)
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.dot(jnp.dot(m_yuv, ccm, precision=hi), jnp.diag(wb),
+                precision=hi)
     minv = jnp.asarray(constants.M_YUV_2_RGB, jnp.float32)
     ksharp = jnp.asarray(params["sharpening_filter"], jnp.float32)
     kblur = jnp.asarray(params["gaussian_blur"], jnp.float32)

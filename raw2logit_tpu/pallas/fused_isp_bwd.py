@@ -310,7 +310,7 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret):
     m = jnp.asarray(constants.M_RGB_2_YUV, jnp.float32)
     wb = jnp.asarray(params["white_balance"], jnp.float32).reshape(3)
     ccm = jnp.asarray(params["colour_correction"], jnp.float32).reshape(3, 3)
-    mt_da = m.T @ da                       # (3, 3): d(CCM @ diag(wb))
+    mt_da = _mm(m.T, da)                   # (3, 3): d(CCM @ diag(wb))
     dccm = mt_da * wb[None, :]
     dwb = jnp.sum(ccm * mt_da, axis=0)
 

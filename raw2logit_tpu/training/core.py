@@ -78,10 +78,19 @@ def _param_labels(params, cfg: TrainConfig, which: str):
 
 def make_optimizer(cfg: TrainConfig, proc_params, clf_params):
     """Single Adam over (processor, classifier) with freeze masks
-    (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd))."""
+    (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd)).
+
+    torch Adam's weight_decay is COUPLED L2 (wd*param added to the
+    gradient before the moment updates) — optax.add_decayed_weights in
+    front of adam, not adamw's decoupled decay."""
+    if cfg.weight_decay:
+        train_tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(cfg.lr))
+    else:
+        train_tx = optax.adam(cfg.lr)
     tx = optax.multi_transform(
-        {"train": optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
-         if cfg.weight_decay else optax.adam(cfg.lr),
+        {"train": train_tx,
          "freeze": optax.set_to_zero()},
         param_labels=(
             _param_labels(proc_params, cfg, "proc"),
@@ -149,19 +158,24 @@ def _forward(cfg, processor, classifier, proc_params, proc_stats,
     """processor -> augmentation -> classifier (model.py:77-83), returning
     mutated batch-stats when training (and not frozen/adversarial —
     the reference never updates BN of frozen parts, model.py:136-142)."""
-    update_proc_bn = train and not cfg.freeze_processor and not cfg.adv_training
-    update_clf_bn = train and not cfg.freeze_classifier
+    # train-mode flag per module == "is this part being trained" (the
+    # reference keeps frozen parts in eval mode, model.py:136-142);
+    # whether batch_stats get MUTATED additionally requires the module to
+    # have them — don't conflate the two (a BN-free module must still see
+    # train=True so e.g. dropout fires)
+    proc_train = train and not cfg.freeze_processor and not cfg.adv_training
+    clf_train = train and not cfg.freeze_classifier
 
     new_proc_stats, new_clf_stats = proc_stats, clf_stats
 
     if processor is not None:
         pvars = {"params": proc_params, "batch_stats": proc_stats}
-        if update_proc_bn and proc_stats:
+        if proc_train and proc_stats:
             (rgb, stages), mut = processor.apply(
                 pvars, raw, train=True, mutable=["batch_stats"])
             new_proc_stats = mut["batch_stats"]
         else:
-            rgb, stages = processor.apply(pvars, raw, train=False)
+            rgb, stages = processor.apply(pvars, raw, train=proc_train)
     else:
         rgb, stages = raw, {}
 
@@ -174,12 +188,12 @@ def _forward(cfg, processor, classifier, proc_params, proc_stats,
     cvars = {"params": clf_params}
     if clf_stats:
         cvars["batch_stats"] = clf_stats
-    if update_clf_bn and clf_stats:
+    if clf_train and clf_stats:
         logits, mut = classifier.apply(cvars, x, train=True,
                                        mutable=["batch_stats"])
         new_clf_stats = mut["batch_stats"]
     else:
-        logits = classifier.apply(cvars, x, train=False)
+        logits = classifier.apply(cvars, x, train=clf_train)
 
     return logits, rgb, stages, new_proc_stats, new_clf_stats
 
@@ -281,7 +295,7 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             (rgb, _), mut = processor.apply(pvars, raw, train=True,
                                             mutable=["batch_stats"])
             return rgb, mut["batch_stats"]
-        rgb, _ = processor.apply(pvars, raw, train=False)
+        rgb, _ = processor.apply(pvars, raw, train=update_proc_bn)
         return rgb, proc_stats
 
     @jax.jit
@@ -305,7 +319,7 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                                                mutable=["batch_stats"])
                 new_cs = mut["batch_stats"]
             else:
-                logits = classifier.apply(cvars, x, train=False)
+                logits = classifier.apply(cvars, x, train=update_clf_bn)
                 new_cs = clf_stats
             if cfg.task == "segmentation" and logits.shape[-1] == 1:
                 logits = logits[..., 0]
@@ -326,10 +340,15 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         _, vjp = jax.vjp(rgb_of, proc_params)
         return vjp(d_rgb)[0]
 
-    @jax.jit
-    def opt_apply(grads, opt_state, params):
+    def _opt_apply(grads, opt_state, params):
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
+
+    # donation: grads/opt_state/params are all dead after this call (the
+    # three other programs consumed the old params earlier in the step's
+    # dispatch order), so donating matches make_train_step's memory story
+    opt_apply = jax.jit(_opt_apply,
+                        donate_argnums=(0, 1, 2) if donate else ())
 
     def step(state: TrainState, raw, y, key):
         rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
@@ -358,15 +377,36 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
 
 def make_eval_step(cfg: TrainConfig, processor, classifier):
     loss_fn_task = task_loss_fn(cfg)
+    aug = get_augmentation(cfg.augmentation)
+    aux_fn = (L.aux_loss(cfg.adv_aux_loss, cfg.adv_aux_weight)
+              if cfg.adv_training else None)
 
     def step(state: TrainState, raw, y, key):
         logits, rgb, _, _, _ = _forward(
             cfg, processor, classifier, state.proc_params, state.proc_stats,
             state.clf_params, state.clf_stats, raw, key, train=False)
+        y_t = y
+        if (cfg.task == "segmentation" and aug is not None
+                and cfg.augmentation_on_eval):
+            # replay the image's geometric transforms on the mask, as in
+            # training (the reference replays in val/test too when
+            # augmentation_on_eval, model.py:90)
+            y_t = aug(key, y_t, is_mask=True)
         if cfg.task == "segmentation" and logits.shape[-1] == 1:
             logits = logits[..., 0]
-        mets = _step_metrics(cfg, logits, y)
-        mets["loss"] = loss_fn_task(logits, y)
+        mets = _step_metrics(cfg, logits, y_t)
+        loss = loss_fn_task(logits, y_t)
+        if aux_fn is not None:
+            # val loss includes the adversarial aux regularizer, like the
+            # reference's shared update_step (model.py:94-98)
+            ref_rgb, _ = processor.apply(
+                {"params": state.ref_proc_params,
+                 "batch_stats": state.ref_proc_stats},
+                raw, train=False)
+            loss_aux = aux_fn(ref_rgb, rgb)
+            loss = loss + loss_aux
+            mets["loss_aux"] = loss_aux
+        mets["loss"] = loss
         return logits, mets
 
     return jax.jit(step)

@@ -249,3 +249,72 @@ def test_staged_step_matches_monolithic(task):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_eval_step_replays_mask_with_augmentation_on_eval():
+    """With augmentation_on_eval, eval must score transformed-frame
+    logits against the TRANSFORMED mask (reference model.py:90 replays in
+    val/test too); an un-replayed mask scores near-zero IoU under rot90."""
+    from raw2logit_tpu.data import SyntheticRawSegmentation
+    from raw2logit_tpu.models import UNetPlusPlus
+    ds = SyntheticRawSegmentation(n=4, h=H, w=W, seed=5)
+    cfg_plain = TrainConfig(task="segmentation")
+    cfg_aug = TrainConfig(task="segmentation", augmentation="weak",
+                          augmentation_on_eval=True)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=H)
+    clf = UNetPlusPlus(encoder_name="resnet18", encoder_depth=5,
+                       decoder_channels=(64, 32, 16, 16, 16), classes=1)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.stack([jnp.asarray(ds[i][1]) for i in range(4)])
+    state, _ = create_train_state(cfg_plain, processor, clf, raw,
+                                  jax.random.key(0))
+    # find a key whose draw includes a geometry change
+    from raw2logit_tpu.augment import get_augmentation
+    aug = get_augmentation("weak")
+    key = next(k for k in (jax.random.key(s) for s in range(20))
+               if not np.allclose(np.asarray(aug(k, y, is_mask=True)),
+                                  np.asarray(y)))
+    logits_aug, mets = make_eval_step(cfg_aug, processor, clf)(
+        state, raw, y, key)
+    # manual recomputation of the CORRECT pairing: transformed-frame
+    # logits vs the identically-transformed mask
+    from raw2logit_tpu.losses import iou_score
+    y_replayed = aug(key, y, is_mask=True)
+    probs = jax.nn.sigmoid(logits_aug)  # eval step already squeezed C
+    want = float(iou_score(probs, y_replayed))
+    got = float(mets["iou_score"])
+    assert abs(got - want) < 1e-6
+    # the key really transformed the mask (else the check is vacuous)
+    assert not np.allclose(np.asarray(y_replayed), np.asarray(y))
+
+
+def test_weight_decay_matches_torch_adam():
+    """TrainConfig.weight_decay mirrors torch.optim.Adam's COUPLED L2
+    (wd*p added to the gradient before the moment updates, model.py:
+    144-146) — not adamw's decoupled decay."""
+    import torch
+    from raw2logit_tpu.training.core import TrainConfig as TC
+
+    wd, lr, steps = 0.1, 1e-2, 5
+    p0, gval = 0.7, 0.3
+
+    tp = torch.nn.Parameter(torch.tensor([p0]))
+    opt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for _ in range(steps):
+        opt.zero_grad()
+        tp.grad = torch.tensor([gval])
+        opt.step()
+
+    cfg = TC(task="classification", lr=lr, weight_decay=wd)
+    params = ({"w": jnp.asarray([p0])}, {})
+    tx = make_optimizer(cfg, *params)
+    opt_state = tx.init(params)
+    cur = params
+    for _ in range(steps):
+        grads = ({"w": jnp.asarray([gval])}, {})
+        updates, opt_state = tx.update(grads, opt_state, cur)
+        import optax
+        cur = optax.apply_updates(cur, updates)
+    np.testing.assert_allclose(np.asarray(cur[0]["w"]),
+                               tp.detach().numpy(), rtol=1e-5)
