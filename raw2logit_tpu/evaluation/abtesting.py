@@ -76,6 +76,22 @@ class ABTesting:
 
     def load_model(self, checkpoint_path, network="resnet18",
                    smp_encoder="resnet34"):
+        """Memoized per (path, network): c_make_table evaluates the same
+        fold checkpoint for 55 corruption x severity cells — re-running
+        the flax init trace + orbax restore each time is pure waste."""
+        cache_key = (str(checkpoint_path), network, smp_encoder)
+        cache = getattr(self, "_model_cache", None)
+        if cache is None:
+            cache = self._model_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
+        result = self._load_model_uncached(checkpoint_path, network,
+                                           smp_encoder)
+        cache[cache_key] = result
+        return result
+
+    def _load_model_uncached(self, checkpoint_path, network,
+                             smp_encoder):
         if self.task == "classification":
             classifier = resnet_model(
                 network, fc_out_features=len(self.dataset.classes))
@@ -143,14 +159,22 @@ class ABTesting:
                 cm.update(np.argmax(np.asarray(logits)[:n], axis=-1), y)
             return cm.summary()
 
-        ious = []
+        # whole-set IoU: accumulate intersection/union across batches
+        # (a plain mean of per-batch IoUs would weight the ragged final
+        # batch equally with the full ones)
+        inter = union = 0.0
         for raw, y in loader:
             key, sub = jax.random.split(key)
             raw_p, n = padded(np.asarray(raw))
             logits = run(jnp.asarray(raw_p), sub)[:n]
-            probs = jax.nn.sigmoid(logits)
-            ious.append(float(iou_score(probs, jnp.asarray(y))))
-        return {"iou": float(np.mean(ious))}
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            if probs.ndim == 4 and probs.shape[-1] == 1:
+                probs = probs[..., 0]
+            pred = probs > 0.5
+            mask = np.asarray(y) > 0.5
+            inter += float(np.logical_and(pred, mask).sum())
+            union += float(np.logical_or(pred, mask).sum())
+        return {"iou": inter / union if union else 1.0}
 
     # -- fold aggregation ---------------------------------------------------
 
@@ -374,30 +398,33 @@ def ab_show_table(table_path, metric="accuracy", out_png=None):
 
     with open(table_path) as fh:
         table = json.load(fh)
-    names = sorted({k.split("__VS__")[0] for k in table})
-    n = len(names)
-    mat = np.full((n, n), np.nan)
-    sig = np.full((n, n), np.nan)
+    # rows and columns are DIFFERENT sets in general: a partial sweep has
+    # few trained pipelines but all 12 test columns (ABMakeTable with an
+    # incomplete checkpoints dict, or test_grid)
+    rows = sorted({k.split("__VS__")[0] for k in table})
+    cols = sorted({k.split("__VS__")[1] for k in table})
+    mat = np.full((len(rows), len(cols)), np.nan)
+    sig = np.full((len(rows), len(cols)), np.nan)
     for k, v in table.items():
         a, b = k.split("__VS__")
         mkey = (f"{metric}_mean" if f"{metric}_mean" in v
                 else metric if metric in v
                 else next((x for x in v if x.endswith("_mean")), list(v)[0]))
-        mat[names.index(a), names.index(b)] = v[mkey]
+        mat[rows.index(a), cols.index(b)] = v[mkey]
         skey = mkey.replace("_mean", "_std")
         if skey != mkey and skey in v:
-            sig[names.index(a), names.index(b)] = v[skey]
+            sig[rows.index(a), cols.index(b)] = v[skey]
     fig, ax = plt.subplots(figsize=(11, 10))
     im = ax.imshow(mat, cmap="viridis")
     if np.isfinite(sig).any():
-        for i in range(n):
-            for j in range(n):
+        for i in range(len(rows)):
+            for j in range(len(cols)):
                 if np.isfinite(mat[i, j]):
                     ax.text(j, i, f"{mat[i, j]:.2f}\n±{sig[i, j]:.2f}",
                             ha="center", va="center", fontsize=4,
                             color="white")
-    ax.set_xticks(range(n), names, rotation=90, fontsize=6)
-    ax.set_yticks(range(n), names, fontsize=6)
+    ax.set_xticks(range(len(cols)), cols, rotation=90, fontsize=6)
+    ax.set_yticks(range(len(rows)), rows, fontsize=6)
     ax.set_xlabel("test pipeline")
     ax.set_ylabel("train pipeline")
     fig.colorbar(im)

@@ -192,9 +192,16 @@ def _elastic_apply(x, jitter, dx_noise, dy_noise, c):
     goldens can drive both implementations with identical draws."""
     h, w = x.shape[1], x.shape[2]
     pts1 = elastic_control_points(h, w)
-    m = _affine_from_points(pts1, pts1 + np.asarray(jitter, np.float32))
-    m3 = np.vstack([m, [0, 0, 1]])
-    minv = np.linalg.inv(m3)[:2]
+    # traced affine solve (jnp, not numpy): the jitter may be a tracer —
+    # the jitted C-battery (abtesting._eval_fn) runs this under jit
+    a = np.zeros((6, 6), np.float32)
+    for i in range(3):
+        a[2 * i, :3] = [pts1[i][0], pts1[i][1], 1.0]
+        a[2 * i + 1, 3:] = [pts1[i][0], pts1[i][1], 1.0]
+    pts2 = jnp.asarray(pts1) + jnp.asarray(jitter, jnp.float32)
+    m = jnp.linalg.solve(jnp.asarray(a), pts2.reshape(-1)).reshape(2, 3)
+    m3 = jnp.concatenate([m, jnp.asarray([[0.0, 0.0, 1.0]])], axis=0)
+    minv = jnp.linalg.inv(m3)[:2]
 
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -233,8 +240,7 @@ def elastic_transform(key, x, severity=1, imsize=IMSIZE):
     c = elastic_severity(severity, imsize)
     h, w = x.shape[1], x.shape[2]
     k_aff, k_dx, k_dy = jax.random.split(key, 3)
-    jitter = np.asarray(jax.random.uniform(
-        k_aff, (3, 2), minval=-c[2], maxval=c[2]), np.float32)
+    jitter = jax.random.uniform(k_aff, (3, 2), minval=-c[2], maxval=c[2])
     dx_noise = jax.random.uniform(k_dx, (h, w), minval=-1, maxval=1)
     dy_noise = jax.random.uniform(k_dy, (h, w), minval=-1, maxval=1)
     return _elastic_apply(x, jitter, dx_noise, dy_noise, c)
@@ -263,11 +269,12 @@ def distort(key, x, transform="identity", severity=1):
 
 # --- extras beyond the reference's 11-corruption battery -------------------
 # The reference carries more Hendrycks transforms but they are unused,
-# wand/cv2-bound, and hardcoded to CIFAR's 32px (hendrycks:192-427). These
-# four are re-derived for arbitrary resolution and keyed PRNG. NOTE:
-# jpeg_compression and fog are HOST-side (PIL / numpy fractal) and must be
-# called eagerly — they are intentionally not in CORRUPTION_LIST (the jitted
-# C-battery); defocus_blur and pixelate are jit-safe.
+# wand/cv2-bound, and hardcoded to CIFAR's 32px (hendrycks:192-427). The
+# nine registered below are re-derived for arbitrary resolution and keyed
+# PRNG. NOTE: only defocus_blur and pixelate are jit-safe; the rest
+# (jpeg_compression: PIL, fog/frost/snow: numpy diamond-square fractal,
+# motion_blur/glass_blur/spatter: host-side draws) must be called EAGERLY —
+# none of them is in CORRUPTION_LIST (the jitted C-battery).
 
 def _disk_kernel(radius, alias_blur=0.1):
     L = np.arange(-max(8, radius), max(8, radius) + 1)
@@ -330,8 +337,11 @@ def _plasma_fractal(key, mapsize, wibbledecay):
         jax.random.key_data(key)).ravel()[:2])
 
     def wibbledmean(array):
+        # reference amplitude is wibble^2 (wibble * uniform(-wibble,
+        # wibble), hendrycks:92) so fine-scale detail decays by
+        # wibbledecay^2 per level
         return array / 4 + wibble * rng.uniform(-wibble, wibble,
-                                                array.shape) / wibble
+                                                array.shape)
 
     while stepsize >= 2:
         # fill squares

@@ -82,7 +82,8 @@ def show_img(img, title="no_title", out_path=None, bins=300):
     ax2.set_xlabel("Intensities")
     ax2.set_ylabel("Counts")
     out_path = out_path or "results/show_img.png"
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):  # bare filename -> cwd
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path

@@ -20,11 +20,18 @@ class Predictor:
     """jitted raw -> logits/probs pipeline from checkpoints."""
 
     def __init__(self, processor, classifier, proc_variables, clf_variables,
-                 task="classification"):
+                 task="classification", process_fn=None):
+        """processor: a flax ISP module (or None), OR pass process_fn — a
+        plain callable raw (B,H,W) -> model-ready input (the static-mode
+        pipeline + normalization is such a function, not a module)."""
         self.task = task
+        self.classes = None  # from_run fills these in
+        self.state_dict = None
 
         def _forward(raw):
-            if processor is not None:
+            if process_fn is not None:
+                rgb = process_fn(raw)
+            elif processor is not None:
                 rgb, _ = processor.apply(proc_variables, raw, train=False)
             else:
                 rgb = raw
@@ -52,9 +59,15 @@ class Predictor:
         dataset = get_dataset(dataset_name, **dataset_kwargs)
         task = dataset.task
 
-        processor = proc_vars = None
+        processor = proc_vars = process_fn = None
         sample_raw = jnp.zeros((1, image_size, image_size), jnp.float32)
-        if processing_mode == "parametrized" and ckpts["processor"]:
+        if processing_mode == "parametrized":
+            if not ckpts["processor"]:
+                raise FileNotFoundError(
+                    f"run {experiment_name}/{run_name} has no processor "
+                    "checkpoint — was it trained with processing_mode="
+                    "'parametrized'? (pass processing_mode='static' to "
+                    "serve a static-pipeline run)")
             processor = ParametrizedProcessing(
                 camera_parameters=dataset.camera_parameters,
                 image_size=image_size, use_pallas=use_pallas)
@@ -64,6 +77,25 @@ class Predictor:
             proc_vars = ckpt.restore_like(ckpts["processor"], {
                 "params": abstract["params"],
                 "batch_stats": abstract.get("batch_stats", {})})
+        elif processing_mode == "static":
+            # rebuild the training-time input pipeline from the run's
+            # saved CLI args: static ISP + (x - mean)/std (train.py
+            # _StaticAsModule); without this the classifier would see an
+            # unprocessed (B,H,W) mosaic
+            from raw2logit_tpu.data.datasets import DATASET_STATS
+            from raw2logit_tpu.isp import StaticPipeline
+            sd = state_dict or {}
+            pipe = StaticPipeline(
+                camera_parameters=dataset.camera_parameters,
+                debayer=sd.get("sp_debayer", "bilinear"),
+                sharpening=sd.get("sp_sharpening", "sharpening_filter"),
+                denoising=sd.get("sp_denoising", "gaussian_denoising"))
+            stats = DATASET_STATS.get(
+                dataset_name.replace("Synthetic", ""),
+                DATASET_STATS["Microscopy"])
+            mean = jnp.asarray(stats["mean"], jnp.float32)
+            std = jnp.asarray(stats["std"], jnp.float32)
+            process_fn = lambda raw: (pipe(raw) - mean) / std  # noqa: E731
 
         if task == "classification":
             classifier = resnet_model(
@@ -79,7 +111,8 @@ class Predictor:
             "params": cabstract["params"],
             "batch_stats": cabstract.get("batch_stats", {})})
 
-        pred = cls(processor, classifier, proc_vars, clf_vars, task=task)
+        pred = cls(processor, classifier, proc_vars, clf_vars, task=task,
+                   process_fn=process_fn)
         pred.classes = getattr(dataset, "classes", None)
         pred.state_dict = state_dict
         return pred
@@ -96,7 +129,8 @@ class Predictor:
                                                  load_image)
         paths = list_images_in_dir(image_dir)
         out_path = out_path or os.path.join("results", "predictions.jsonl")
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):  # bare filename -> cwd
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:
             for i in range(0, len(paths), batch_size):
                 chunk = paths[i:i + batch_size]

@@ -158,3 +158,53 @@ def test_loss_scatter_and_gif(tmp_path):
                         os.path.join(d, "img_processing_0_gamma_correct.png"))
     out = make_stage_gif(run_dir, stage="gamma_correct", mode="processing")
     assert out.endswith(".gif") and os.path.exists(out)
+
+
+def test_corruption_battery_is_jit_safe():
+    """Every CORRUPTION_LIST entry must run under jit — the C-battery's
+    per-cell program jits pipeline + corruption + classifier together
+    (abtesting._eval_fn); elastic_transform's affine solve used to be
+    host-side numpy and crashed the whole CMakeTable at its last column."""
+    from raw2logit_tpu.evaluation.abtesting import CORRUPTION_LIST
+    from raw2logit_tpu.evaluation.corruptions import distort
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    for name in CORRUPTION_LIST:
+        for sev in (1, 3, 5):
+            out = jax.jit(lambda k, v: distort(k, v, name, sev))(
+                jax.random.key(sev), x)
+            assert out.shape == x.shape, name
+            assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_ab_show_table_partial_coverage(tmp_path):
+    """One trained pipeline against many test columns (the normal state of
+    an incomplete sweep) must still render."""
+    table = {f"a__VS__{c}": {"accuracy": v}
+             for c, v in (("a", 0.9), ("b", 0.5), ("c", 0.4))}
+    path = str(tmp_path / "t.json")
+    with open(path, "w") as fh:
+        json.dump(table, fh)
+    assert os.path.exists(ab_show_table(path, metric="accuracy"))
+
+
+def test_serving_static_mode(tmp_path, monkeypatch):
+    """A static-mode run must be servable: Predictor rebuilds the static
+    ISP + normalization from the run's saved CLI args."""
+    import numpy as _np
+    from raw2logit_tpu.serving import Predictor
+    from raw2logit_tpu.training.train import build_parser, run_train
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+            "static", "--sp_debayer", "malvar2004", "--epochs", "1",
+            "--batch_size", "4", "--n_splits", "1", "--test_run",
+            "--experiment_name", "ss", "--run_name", "s0", "--lr", "1e-3"]
+    run_train(build_parser().parse_args(argv))
+    pred = Predictor.from_run("ss", "s0", dataset_name="SyntheticMicroscopy",
+                              processing_mode="static", image_size=256)
+    assert pred.state_dict["sp_debayer"] == "malvar2004"
+    ds = __import__("raw2logit_tpu.data", fromlist=["get_dataset"]) \
+        .get_dataset("SyntheticMicroscopy")
+    out = _np.asarray(pred(_np.stack([ds[0][0], ds[1][0]])))
+    assert out.shape == (2, 2) and _np.isfinite(out).all()
