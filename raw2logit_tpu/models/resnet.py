@@ -231,7 +231,13 @@ def load_pretrained_variables(model_name, variables, weights_dir="weights",
     required=True raises when the file is absent (the user explicitly asked
     for pretrained init); required=False returns variables unchanged with a
     note (segmentation's encoder_weights='imagenet' default, which this
-    zero-egress image cannot satisfy out of the box)."""
+    zero-egress image cannot satisfy out of the box).
+
+    The conv_init/fc skip applies only to the TOP-LEVEL classifier
+    (prefix=()): the reference replaces conv1/fc there (model.py:15-23)
+    but smp's encoder_weights='imagenet' loads the FULL stem for encoder
+    submodules — skipping conv_init for an encoder overlay would leave a
+    silently random first conv."""
     path = os.path.join(weights_dir, f"{model_name.lower()}.npz")
     if not os.path.exists(path):
         if required:
@@ -242,5 +248,6 @@ def load_pretrained_variables(model_name, variables, weights_dir="weights",
               "encoder uses random init")
         return variables, []
     flat = load_pretrained_npz(path)
-    return overlay_pretrained(variables, flat, prefix=prefix,
+    skip = PRETRAINED_SKIP if not prefix else ("fc",)
+    return overlay_pretrained(variables, flat, skip=skip, prefix=prefix,
                               ignore_missing=ignore_missing)

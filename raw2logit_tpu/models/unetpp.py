@@ -76,8 +76,10 @@ class UNetPlusPlus(nn.Module):
                 skips = [grid[(i, k)] for k in range(j)]
                 up = _upsample2x(grid[(i + 1, j - 1)])
                 y = jnp.concatenate(skips + [up], axis=-1)
-                y = ConvBlock(row_ch[i] if i < d else row_ch[-1],
-                              dtype=self.dtype, name=f"x_{i}_{j}")(y, train=train)
+                # i <= d - j <= d - 1 here, so row i always indexes
+                # decoder_channels directly
+                y = ConvBlock(row_ch[i], dtype=self.dtype,
+                              name=f"x_{i}_{j}")(y, train=train)
                 grid[(i, j)] = y
 
         out = nn.Conv(self.classes, (3, 3), padding="SAME",

@@ -14,6 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+# pipeline order of the stage-tracking protocol (reference
+# figures/figures.py:25); jit outputs carry dicts in sorted-key order, so
+# artifact numbering must re-impose this
+STAGE_ORDER = ("demosaic", "color_correct", "sharpening", "gaussian",
+               "clipped", "gamma_correct", "noise", "rgb")
+
 
 def save_image_grid(batch, path, nrow=8):
     """(B, H, W, C) or (B, H, W) -> one PNG grid (torchvision make_grid
@@ -48,23 +54,47 @@ def log_tensor(batch, path, save_tensors=True, nrow=8):
     save_image_grid(batch, img_path, nrow=nrow)
 
 
+def make_stage_gradients_fn(processor, classifier, loss_fn,
+                            with_reference=False, with_logits=False):
+    """ONE jitted program per tracked batch: stages + per-stage loss
+    gradients via zero-valued taps (replaces retain_grad,
+    pipeline_torch.py:219-221), optionally reference-processor stages and
+    the logits (from the same forward the grad uses — no extra pass).
+    Eager apply/grad here would pay a remote compile per op on the TPU
+    backend (CLAUDE.md)."""
+
+    @jax.jit
+    def fn(variables, clf_variables, ref_variables, raw, labels):
+        _, stages = processor.apply(variables, raw, train=False)
+        taps0 = {k: jnp.zeros_like(v) for k, v in stages.items()}
+
+        def _loss(taps):
+            rgb, stg = processor.apply(variables, raw, train=False,
+                                       taps=taps)
+            logits = classifier.apply(clf_variables, rgb, train=False)
+            squeezed = logits
+            if logits.ndim == 4 and logits.shape[-1] == 1:
+                squeezed = logits[..., 0]
+            return loss_fn(squeezed, labels), logits
+
+        grads, logits = jax.grad(_loss, has_aux=True)(taps0)
+        ref_stages = {}
+        if with_reference:
+            _, ref_stages = processor.apply(ref_variables, raw,
+                                            train=False)
+        return stages, grads, (logits if with_logits else None), ref_stages
+
+    return fn
+
+
 def stage_gradients(processor, variables, classifier, clf_variables,
                     loss_fn, raw, labels):
-    """Gradient of the task loss w.r.t. every processing stage, via
-    zero-valued taps (replaces retain_grad, pipeline_torch.py:219-221).
+    """Gradient of the task loss w.r.t. every processing stage.
 
     Returns (stages, grads): two dicts of (B, H, W, C) arrays."""
-    _, stages = processor.apply(variables, raw, train=False)
-    taps0 = {k: jnp.zeros_like(v) for k, v in stages.items()}
-
-    def _loss(taps):
-        rgb, _ = processor.apply(variables, raw, train=False, taps=taps)
-        logits = classifier.apply(clf_variables, rgb, train=False)
-        if logits.ndim == 4 and logits.shape[-1] == 1:
-            logits = logits[..., 0]
-        return loss_fn(logits, labels)
-
-    grads = jax.grad(_loss)(taps0)
+    fn = make_stage_gradients_fn(processor, classifier, loss_fn)
+    stages, grads, _, _ = fn(variables, clf_variables, variables, raw,
+                             labels)
     return stages, grads
 
 
@@ -82,22 +112,20 @@ def track_images(processor, variables, classifier, clf_variables, loss_fn,
     labels_full, logits_full = [], []
 
     track_differences = reference_variables is not None
+    batch_fn = make_stage_gradients_fn(processor, classifier, loss_fn,
+                                       with_reference=track_differences,
+                                       with_logits=track_predictions)
 
     for raw, labels in loader:
         raw = jnp.asarray(raw)
-        stages, grads = stage_gradients(processor, variables, classifier,
-                                        clf_variables, loss_fn, raw,
-                                        jnp.asarray(labels))
+        stages, grads, logits, ref_stages = batch_fn(
+            variables, clf_variables,
+            reference_variables if track_differences else variables,
+            raw, jnp.asarray(labels))
         if not stages:
             return  # static / none pipeline: nothing to track
 
-        if track_differences:
-            _, ref_stages = processor.apply(reference_variables, raw,
-                                            train=False)
-
         if track_predictions:
-            rgb, _ = processor.apply(variables, raw, train=False)
-            logits = classifier.apply(clf_variables, rgb, train=False)
             labels_full.append(np.asarray(labels))
             logits_full.append(np.asarray(logits))
 
@@ -109,7 +137,9 @@ def track_images(processor, variables, classifier, clf_variables, loss_fn,
             if track_gradients:
                 grads_full[name].append(np.asarray(grads[name]))
 
-    for stage_nr, name in enumerate(stages_full):
+    ordered = ([n for n in STAGE_ORDER if n in stages_full]
+               + [n for n in stages_full if n not in STAGE_ORDER])
+    for stage_nr, name in enumerate(ordered):
         if track_processing:
             batch = np.concatenate(stages_full[name])
             log_tensor(batch, os.path.join(

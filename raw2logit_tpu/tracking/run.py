@@ -33,25 +33,34 @@ def _to_jsonable(v):
 
 class Run:
     def __init__(self, experiment_name: str, run_name: str,
-                 root: str = "results/runs", parent: Optional["Run"] = None):
+                 root: str = "results/runs", parent: Optional["Run"] = None,
+                 tracking_uri: Optional[str] = None):
         self.experiment_name = experiment_name
         self.run_name = run_name
         if parent is not None:
-            self.dir = os.path.join(parent.dir, run_name)
+            self.dir = os.path.join(parent.dir, _safe(run_name))
         else:
             self.dir = os.path.join(root, _safe(experiment_name),
                                     _safe(run_name))
         os.makedirs(self.dir, exist_ok=True)
-        self._metrics_fh = open(os.path.join(self.dir, "metrics.jsonl"), "a")
-        self._mlflow = None
-        uri = os.environ.get("MLFLOW_TRACKING_URI")
+        # metrics file opened lazily so read-only access (find_run,
+        # get_model_by_name) has no write side effects
+        self._metrics_fh = None
+        self._mlflow = self._mlflow_run = None
+        uri = tracking_uri or os.environ.get("MLFLOW_TRACKING_URI")
         if uri:
             try:
                 import mlflow
                 mlflow.set_tracking_uri(uri)
+                mlflow.set_experiment(experiment_name)
+                self._mlflow_run = mlflow.start_run(
+                    run_name=run_name, nested=parent is not None)
                 self._mlflow = mlflow
             except ImportError:
-                pass
+                print("mlflow not installed — tracking locally only "
+                      f"(requested URI {uri})")
+            except Exception as e:  # noqa: BLE001 — never block training
+                print(f"mlflow mirror unavailable ({e}); tracking locally")
 
     def log_params(self, params: dict):
         path = os.path.join(self.dir, "params.json")
@@ -62,12 +71,29 @@ class Run:
         merged.update(_to_jsonable(params))
         with open(path, "w") as fh:
             json.dump(merged, fh, indent=2, default=str)
+        if self._mlflow is not None:
+            try:
+                self._mlflow.log_params({k: str(v)[:250]
+                                         for k, v in merged.items()})
+            except Exception:  # noqa: BLE001
+                pass
 
     def log_metrics(self, metrics: dict, step: Optional[int] = None):
         rec = {"time": time.time(), "step": step}
         rec.update({k: _to_jsonable(v) for k, v in metrics.items()})
+        if self._metrics_fh is None:
+            self._metrics_fh = open(
+                os.path.join(self.dir, "metrics.jsonl"), "a")
         self._metrics_fh.write(json.dumps(rec, default=str) + "\n")
         self._metrics_fh.flush()
+        if self._mlflow is not None:
+            try:
+                self._mlflow.log_metrics(
+                    {k: float(v) for k, v in metrics.items()
+                     if isinstance(v, (int, float, np.floating, np.integer))},
+                    step=step)
+            except Exception:  # noqa: BLE001
+                pass
 
     def log_state_dict(self, state_dict: dict, name="state_dict.json"):
         with open(os.path.join(self.dir, name), "w") as fh:
@@ -83,7 +109,15 @@ class Run:
         return Run(self.experiment_name, run_name, parent=self)
 
     def close(self):
-        self._metrics_fh.close()
+        if self._metrics_fh is not None:
+            self._metrics_fh.close()
+            self._metrics_fh = None
+        if self._mlflow is not None and self._mlflow_run is not None:
+            try:
+                self._mlflow.end_run()
+            except Exception:  # noqa: BLE001
+                pass
+            self._mlflow_run = None
 
     def __enter__(self):
         return self

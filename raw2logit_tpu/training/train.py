@@ -262,7 +262,8 @@ def run_train(args):
         loss_weight=-1.0 if args.adv_training else 1.0,
     )
 
-    parent = Run(args.experiment_name, args.run_name)
+    parent = Run(args.experiment_name, args.run_name,
+                 tracking_uri=args.tracking_uri)
     results = []
 
     for k_iter, (train_indices, valid_indices) in enumerate(idxs_kfold):
@@ -296,6 +297,9 @@ def run_train(args):
 
         train_loader = Loader(train_set, args.batch_size, shuffle=True,
                               seed=args.seed, mesh=mesh)
+        assert len(train_loader) > 0, (
+            f"train split ({len(train_set)} items) is smaller than "
+            f"--batch_size {args.batch_size}; nothing would train")
         valid_loader = Loader(valid_set, args.batch_size, shuffle=False,
                               drop_last=False)
         track_loader = Loader(track_set, args.batch_size, shuffle=False,
@@ -392,9 +396,13 @@ def run_train(args):
         start_epoch = 0
         ckpt_root = os.path.join(run.dir, "checkpoints")
         if args.resume and os.path.isdir(ckpt_root):
+            import re
+            # strictly 'epoch_NNNN': an interrupted orbax save leaves
+            # 'epoch_NNNN.orbax-checkpoint-tmp-*' dirs that must not be
+            # parsed (or resumed from)
             epochs_done = sorted(
-                int(d.split("_")[1]) for d in os.listdir(ckpt_root)
-                if d.startswith("epoch_"))
+                int(m.group(1)) for d in os.listdir(ckpt_root)
+                if (m := re.fullmatch(r"epoch_(\d+)", d)))
             if epochs_done:
                 start_epoch = epochs_done[-1]
                 state = ckpt.restore_like(
@@ -428,16 +436,23 @@ def run_train(args):
                           for k in epoch_metrics[0]}
             run.log_metrics(train_mets, step=epoch)
 
-            if (epoch + 1) % args.check_val_every_n_epoch == 0:
-                val_metrics = []
+            if (args.check_val_every_n_epoch > 0
+                    and (epoch + 1) % args.check_val_every_n_epoch == 0):
+                val_metrics, val_ns = [], []
                 for raw, y in valid_loader:
                     key, sub = jax.random.split(key)
                     _, mets = eval_step(state, jnp.asarray(raw),
                                         jnp.asarray(y), sub)
                     val_metrics.append(mets)
-                val_mets = {f"val_{k}": float(np.mean([float(m[k])
-                                                       for m in val_metrics]))
-                            for k in val_metrics[0]}
+                    val_ns.append(len(raw))
+                # size-weighted mean: the ragged final batch (its shape is
+                # constant across epochs, so it costs one extra cached
+                # compile) must not count as much as the full batches
+                w = np.asarray(val_ns, np.float64)
+                w /= w.sum()
+                val_mets = {f"val_{k}": float(np.sum(
+                    w * np.asarray([float(m[k]) for m in val_metrics])))
+                    for k in val_metrics[0]}
                 run.log_metrics(val_mets, step=epoch)
                 print(f"[fold {k_iter}] epoch {epoch + 1}/{args.epochs} "
                       f"{train_mets} {val_mets}")

@@ -118,12 +118,17 @@ def test_unetpp_encoder_prefix_overlay(tmp_path):
     hits = 0
     for k, v in flat.items():
         parts = k.split("/")
-        if parts[1] in PRETRAINED_SKIP:
+        # encoder overlays load the FULL stem (smp encoder_weights=
+        # 'imagenet' loads conv1); only the classifier head 'fc' is
+        # skipped — unlike the top-level classifier path where the
+        # reference replaces conv1 AND fc (model.py:15-23)
+        if parts[1] == "fc":
             continue
         np.testing.assert_array_equal(
             new_flat["/".join(parts[:1] + ["encoder"] + parts[1:])], v)
         hits += 1
     assert hits == len(applied) > 0
+    assert any("conv_init" in k for k in applied)  # stem loaded
     # decoder untouched
     old_flat = _flatten(variables)
     for k in new_flat:
