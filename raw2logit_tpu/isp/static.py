@@ -32,6 +32,11 @@ class StaticPipeline:
     camera_parameters: Tuple[Sequence[float], Sequence[float], Sequence[float]]
     debayer: str = "bilinear"
     sharpening: str = "unsharp_masking"
+    # NOTE: the reference class default is denoising='gaussian' which
+    # matches NO dispatcher branch and silently applies no denoising
+    # (pipeline_numpy.py:40,120-139); its CLI default is
+    # 'gaussian_denoising' (train.py:104), which is what we default to —
+    # default-CONSTRUCTED pipelines therefore denoise here but not there.
     denoising: str = "gaussian_denoising"
 
     def __call__(self, raw):

@@ -25,16 +25,20 @@ def cross_entropy_loss(logits, labels):
 
 
 def dice_loss(logits, targets, smooth=0.0, eps=1e-7):
-    """Binary soft-Dice on logits (smp DiceLoss(mode='binary',
-    from_logits=True) semantics): per-sample over flattened spatial dims,
-    then averaged."""
-    probs = jax.nn.sigmoid(logits)
-    probs = probs.reshape(probs.shape[0], -1)
-    targets = targets.reshape(targets.shape[0], -1).astype(probs.dtype)
-    intersection = jnp.sum(probs * targets, axis=-1)
-    cardinality = jnp.sum(probs + targets, axis=-1)
-    score = (2.0 * intersection + smooth) / (cardinality + smooth + eps)
-    return jnp.mean(1.0 - score)
+    """Binary soft-Dice on logits — exact smp DiceLoss(mode='binary',
+    from_logits=True) semantics: ONE dice score over batch+spatial
+    jointly (dims=(0, 2) of the (B, 1, B*H*W) view), and the loss is
+    zeroed when the whole batch's target is empty (smp's mask =
+    y_true.sum(dims) > 0 — no gradient pushing everything to zero on
+    empty batches)."""
+    probs = jax.nn.sigmoid(logits).reshape(-1)
+    targets = targets.reshape(-1).astype(probs.dtype)
+    intersection = jnp.sum(probs * targets)
+    cardinality = jnp.sum(probs + targets)
+    score = (2.0 * intersection + smooth) / \
+        jnp.maximum(cardinality + smooth, eps)
+    has_target = (jnp.sum(targets) > 0).astype(probs.dtype)
+    return (1.0 - score) * has_target
 
 
 def l2_regularization(x, y):
@@ -84,8 +88,14 @@ def accuracy(logits_or_preds, labels):
 
 def iou_score(logits_or_probs, targets, threshold=0.5, eps=1e-7,
               from_logits=False):
-    """Binary IoU (smp.utils.metrics.IoU semantics: threshold then
-    intersection / union over the whole batch)."""
+    """Binary IoU: threshold then intersection/union over the whole batch.
+
+    Deliberate deviation: the reference's smp.utils.metrics.IoU() is
+    constructed with activation=None (train.py:237) and so thresholds RAW
+    LOGITS at 0.5 (predicted-positive iff prob > 0.622) — an apparent
+    activation oversight. Here probabilities are thresholded at 0.5, the
+    standard metric; reported IoU therefore differs slightly from the
+    reference's logged values for pixels with prob in (0.5, 0.622)."""
     probs = jax.nn.sigmoid(logits_or_probs) if from_logits else logits_or_probs
     preds = (probs > threshold).astype(jnp.float32)
     targets = targets.astype(jnp.float32)

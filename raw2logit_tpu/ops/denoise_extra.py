@@ -90,8 +90,12 @@ def denoise_tv_bregman(img, weight=100.0, max_iter=100, isotropic=True,
             # (grad^T = -div for the forward-difference pair above)
             gamma = 2.0
             rhs = lam * u0 - gamma * _div2d(d[0] - b[0], d[1] - b[1])
-            lap_nb = (jnp.roll(u, 1, -2) + jnp.roll(u, -1, -2)
-                      + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -1))
+            # edge-clamped neighbour sum (jnp.roll would impose PERIODIC
+            # boundaries, coupling opposite image edges — skimage and the
+            # Goldstein-Osher scheme are non-periodic)
+            up = jnp.pad(u, ((1, 1), (1, 1)), mode="edge")
+            lap_nb = (up[:-2, 1:-1] + up[2:, 1:-1]
+                      + up[1:-1, :-2] + up[1:-1, 2:])
             u = (rhs + gamma * lap_nb) / (lam + 4.0 * gamma)
             gh, gw = _grad2d(u)
             g = jnp.stack([gh, gw])
@@ -114,7 +118,9 @@ def denoise_bilateral(img, sigma_color=None, sigma_spatial=0.6,
                       win_size=None):
     """Windowed gaussian bilateral filter (skimage.restoration
     .denoise_bilateral semantics: win_size = 2*ceil(3*sigma_spatial)+1,
-    sigma_color defaults to the image std; color distance per channel)."""
+    sigma_color defaults to the image std; multichannel=True computes ONE
+    range weight per neighbour from the colour distance summed over
+    channels, applied to all channels)."""
     if win_size is None:
         win_size = max(5, 2 * int(jnp.ceil(3 * sigma_spatial)) + 1)
     r = win_size // 2
@@ -132,7 +138,10 @@ def denoise_bilateral(img, sigma_color=None, sigma_spatial=0.6,
             shifted = xp[..., r + dy:r + dy + h, r + dx:r + dx + w, :]
             sw = jnp.exp(-(dy * dy + dx * dx) /
                          (2.0 * sigma_spatial ** 2))
-            cw = jnp.exp(-((shifted - img) ** 2) /
+            # joint colour distance across channels -> one weight per
+            # neighbour (skimage multichannel semantics)
+            cw = jnp.exp(-jnp.sum((shifted - img) ** 2, axis=-1,
+                                  keepdims=True) /
                          (2.0 * sigma_color ** 2))
             wgt = sw * cw
             num = num + wgt * shifted

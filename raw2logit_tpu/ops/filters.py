@@ -99,9 +99,9 @@ def gaussian_blur_y(img, sigma=0.5, pad_mode="symmetric", kernel=None):
 
 @functools.lru_cache(maxsize=None)
 def _gauss1d_np(sigma: float, radius: int):
-    x = np.arange(-radius, radius + 1, dtype=np.float64)
-    g = np.exp(-0.5 * (x / sigma) ** 2)
-    return (g / g.sum()).astype(np.float32)
+    # single source of truth in constants (K_BLUR == this at sigma 0.5,
+    # radius 2 — the fidelity tests rely on the equivalence)
+    return constants._gaussian_1d(sigma, radius)
 
 
 def _gauss1d(sigma, radius):

@@ -167,3 +167,25 @@ def test_extra_corruptions_bounded(name, rng):
     assert np.all(out >= -1e-6) and np.all(out <= 1 + 1e-6)
     assert np.all(np.isfinite(out))
     assert np.abs(out - np.asarray(x)).mean() > 1e-4  # actually corrupts
+
+
+def test_dice_loss_smp_joint_semantics():
+    """smp DiceLoss(mode='binary') computes ONE dice over batch+spatial
+    jointly and zeroes the loss for an empty-target batch."""
+    from raw2logit_tpu.losses import dice_loss
+    logits = jnp.asarray([[[8.0, -8.0], [-8.0, -8.0]],
+                          [[-8.0, -8.0], [-8.0, -8.0]]])  # (2, 2, 2)
+    y = jnp.asarray([[[1.0, 0.0], [0.0, 0.0]],
+                     [[1.0, 1.0], [1.0, 1.0]]])
+    # probs ~ [1,0,0,0 | 0,0,0,0]; I ~ 1, card ~ 1 + 5 -> dice ~ 2/6
+    got = float(dice_loss(logits, y))
+    p = np.asarray(jax.nn.sigmoid(logits)).ravel()
+    t = np.asarray(y).ravel()
+    want = 1.0 - 2.0 * (p * t).sum() / (p + t).sum()
+    assert abs(got - want) < 1e-6
+
+    # empty-target batch: zero loss, zero gradient (smp's mask)
+    y0 = jnp.zeros_like(y)
+    assert float(dice_loss(logits, y0)) == 0.0
+    g = jax.grad(lambda l: dice_loss(l, y0))(logits)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
