@@ -30,9 +30,21 @@ def process(raw, camera="Microscope", debayer="bilinear",
 
 def process_file(path, **kw):
     from PIL import Image
-    raw = np.asarray(Image.open(path), np.float32)
-    if raw.max() > 1:
-        raw = raw / (2 ** 16 - 1)
+    img = np.asarray(Image.open(path))
+    if img.ndim == 3:
+        # RGB/RGBA upload: take the first channel as the mosaic plane
+        # (reference app.py uses raw_img[:, :, 0])
+        img = img[:, :, 0]
+    # normalize by the actual bit depth, not a blanket 2^16-1 (an 8-bit
+    # upload divided by 65535 renders near-black)
+    if img.dtype == np.uint8:
+        raw = img.astype(np.float32) / 255.0
+    elif img.dtype.kind in "ui":
+        raw = img.astype(np.float32) / (2 ** 16 - 1)
+    else:
+        raw = img.astype(np.float32)
+        if raw.max() > 1:
+            raw = raw / (2 ** 16 - 1)
     return process(raw, **kw)
 
 
@@ -43,9 +55,10 @@ def launch():
         print("gradio not installed; use process_file(path) instead")
         return None
     demo = gr.Interface(
-        fn=lambda f, cam, db, sh, dn: process_file(f.name, camera=cam,
-                                                   debayer=db, sharpening=sh,
-                                                   denoising=dn),
+        # gradio 3.x hands a tempfile-like object, 4.x a filepath str
+        fn=lambda f, cam, db, sh, dn: process_file(
+            f if isinstance(f, str) else f.name, camera=cam,
+            debayer=db, sharpening=sh, denoising=dn),
         inputs=[gr.File(label="RawImage"),
                 gr.Dropdown(list(CAMERAS), value="Microscope",
                             label="CameraParameters"),

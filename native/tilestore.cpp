@@ -48,6 +48,13 @@ struct Store {
 
 size_t dtype_size(uint64_t d) { return d == 0 ? 4 : (d == 1 ? 2 : 1); }
 
+void r2l_close_impl(Store* s) {
+  if (!s) return;
+  if (s->base) munmap(const_cast<uint8_t*>(s->base), s->file_size);
+  if (s->fd >= 0) close(s->fd);
+  delete s;
+}
+
 }  // namespace
 
 extern "C" {
@@ -63,24 +70,26 @@ void* r2l_open(const char* path) {
   s->fd = fd;
   s->file_size = st.st_size;
   s->base = static_cast<const uint8_t*>(base);
+  if (s->file_size < sizeof(Header)) { r2l_close_impl(s); return nullptr; }
   std::memcpy(&s->hdr, s->base, sizeof(Header));
-  if (s->hdr.magic != kMagic) { delete s; return nullptr; }
+  if (s->hdr.magic != kMagic) { r2l_close_impl(s); return nullptr; }
   uint64_t cc = s->hdr.c ? s->hdr.c : 1;
   s->item_bytes = s->hdr.h * s->hdr.w * cc * dtype_size(s->hdr.dtype);
   s->label_bytes = s->hdr.label_kind == 0 ? 8 : s->hdr.h * s->hdr.w * 4;
+  // reject truncated/corrupt stores at open time — an undersized mapping
+  // would SIGBUS mid-gather instead
+  const uint64_t need = sizeof(Header) +
+                        s->hdr.n * (s->item_bytes + s->label_bytes);
+  if (s->file_size < need) { r2l_close_impl(s); return nullptr; }
   s->data = s->base + sizeof(Header);
   s->labels = s->data + s->hdr.n * s->item_bytes;
-  // advise the kernel we'll random-read
-  madvise(const_cast<uint8_t*>(s->base), s->file_size, MADV_WILLNEED);
+  // random-access gathers: don't queue whole-file readahead
+  madvise(const_cast<uint8_t*>(s->base), s->file_size, MADV_RANDOM);
   return s;
 }
 
 void r2l_close(void* handle) {
-  auto* s = static_cast<Store*>(handle);
-  if (!s) return;
-  munmap(const_cast<uint8_t*>(s->base), s->file_size);
-  close(s->fd);
-  delete s;
+  r2l_close_impl(static_cast<Store*>(handle));
 }
 
 uint64_t r2l_len(void* handle) {

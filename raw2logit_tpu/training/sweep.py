@@ -42,8 +42,12 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
               python=sys.executable):
     """checkpoints maps pipeline -> list of per-fold classifier checkpoints
     (the A/B harness aggregates mean/std over them; state_dicts carries the
-    matching per-fold valid_indices files)."""
-    manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {}}
+    matching per-fold valid_indices files). With multiple datasets or
+    augmentations in the grid the flat maps would collide on pipeline
+    names, so they are nested under '<dataset>/<augmentation>' configs and
+    the flat view is only emitted for a single-config sweep."""
+    manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {},
+                "configs": {}}
     for i, job in enumerate(jobs):
         if i % n_shards != shard:
             continue
@@ -61,10 +65,17 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
                                    job["run_name"])
             folds = [os.path.join(run_dir, f"{job['run_name']}_{k}")
                      for k in range(n_splits)]
-            manifest["checkpoints"][job["pipeline"]] = [
+            cfg_key = f"{job['dataset']}/{job['augmentation']}"
+            cfg = manifest["configs"].setdefault(
+                cfg_key, {"checkpoints": {}, "state_dicts": {}})
+            cfg["checkpoints"][job["pipeline"]] = [
                 os.path.join(d, "checkpoints", "classifier") for d in folds]
-            manifest["state_dicts"][job["pipeline"]] = [
+            cfg["state_dicts"][job["pipeline"]] = [
                 os.path.join(d, "state_dict.json") for d in folds]
+    if len(manifest["configs"]) == 1:
+        only = next(iter(manifest["configs"].values()))
+        manifest["checkpoints"] = only["checkpoints"]
+        manifest["state_dicts"] = only["state_dicts"]
     return manifest
 
 
@@ -87,7 +98,8 @@ def main(argv=None):
                       args.batch_size, args.lr, args.n_splits)
     manifest = run_sweep(jobs, shard=args.shard, n_shards=args.n_shards,
                          dry_run=args.dry_run)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):  # bare filename -> cwd
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(manifest, fh, indent=2)
     print(f"manifest -> {args.out}")

@@ -14,7 +14,11 @@ def enable_compilation_cache(path="/tmp/jax_cache"):
         import jax
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # honor a user-exported threshold (setdefault above implies env
+        # wins) — only our default of 1 s is forced
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass
 

@@ -208,3 +208,23 @@ def test_serving_static_mode(tmp_path, monkeypatch):
         .get_dataset("SyntheticMicroscopy")
     out = _np.asarray(pred(_np.stack([ds[0][0], ds[1][0]])))
     assert out.shape == (2, 2) and _np.isfinite(out).all()
+
+
+def test_app_cli_normalizes_8bit_and_rgb(tmp_path):
+    """app.process_file: 8-bit uploads normalize by 255 (not 2^16-1) and
+    RGB uploads reduce to the first channel like the reference app."""
+    from PIL import Image
+    import app as demo
+    rng = np.random.default_rng(0)
+    p8 = str(tmp_path / "m8.png")
+    Image.fromarray((rng.uniform(0.2, 0.9, (32, 32)) * 255).astype(
+        np.uint8)).save(p8)
+    rgb = demo.process_file(p8)
+    assert rgb.shape == (32, 32, 3)
+    assert float(np.mean(rgb)) > 0.05  # not near-black
+
+    prgb = str(tmp_path / "rgb.png")
+    Image.fromarray((rng.uniform(0.2, 0.9, (32, 32, 3)) * 255).astype(
+        np.uint8)).save(prgb)
+    out = demo.process_file(prgb)
+    assert out.shape == (32, 32, 3)

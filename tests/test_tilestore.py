@@ -89,3 +89,17 @@ def test_subset_of_store_gathers_mapped_rows(tmp_path):
     # a Subset of a plain dataset must NOT claim gather
     assert not hasattr(Subset(ds, [0, 1]), "gather")
     store.close()
+
+
+def test_truncated_store_rejected(tmp_path):
+    """A store truncated mid-write must fail at open, not SIGBUS during a
+    later gather."""
+    ds = SyntheticRawClassification(n=4, h=16, w=16, seed=0)
+    path = str(tmp_path / "trunc.r2l")
+    build_store(ds, path)
+    import os
+    size = os.path.getsize(path)
+    with open(path, "r+b") as fh:
+        fh.truncate(size - 64)
+    with pytest.raises(IOError, match="cannot open"):
+        TileStore(path, task="auto")
