@@ -73,14 +73,23 @@ void* r2l_open(const char* path) {
   if (s->file_size < sizeof(Header)) { r2l_close_impl(s); return nullptr; }
   std::memcpy(&s->hdr, s->base, sizeof(Header));
   if (s->hdr.magic != kMagic) { r2l_close_impl(s); return nullptr; }
+  // reject corrupt/hostile headers BEFORE any size arithmetic: the u64
+  // geometry fields could wrap h*w*c*dtype and n*(item+label) products,
+  // sneaking an undersized mapping past a multiplied bound and turning
+  // the open-time guard into a SIGBUS mid-gather. Bound each factor,
+  // then use division for the item-count check.
+  if (s->hdr.h == 0 || s->hdr.w == 0 || s->hdr.h > (1u << 20) ||
+      s->hdr.w > (1u << 20) || s->hdr.c > 64 || s->hdr.dtype > 2 ||
+      s->hdr.label_kind > 1) {
+    r2l_close_impl(s); return nullptr;
+  }
   uint64_t cc = s->hdr.c ? s->hdr.c : 1;
   s->item_bytes = s->hdr.h * s->hdr.w * cc * dtype_size(s->hdr.dtype);
   s->label_bytes = s->hdr.label_kind == 0 ? 8 : s->hdr.h * s->hdr.w * 4;
-  // reject truncated/corrupt stores at open time — an undersized mapping
-  // would SIGBUS mid-gather instead
-  const uint64_t need = sizeof(Header) +
-                        s->hdr.n * (s->item_bytes + s->label_bytes);
-  if (s->file_size < need) { r2l_close_impl(s); return nullptr; }
+  const uint64_t per_item = s->item_bytes + s->label_bytes;
+  if (s->hdr.n > (s->file_size - sizeof(Header)) / per_item) {
+    r2l_close_impl(s); return nullptr;
+  }
   s->data = s->base + sizeof(Header);
   s->labels = s->data + s->hdr.n * s->item_bytes;
   // random-access gathers: don't queue whole-file readahead

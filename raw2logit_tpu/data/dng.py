@@ -135,8 +135,21 @@ def read_dng(path):
 
     offsets = ifd[_TAG_STRIP_OFFSETS]
     counts = ifd.get(_TAG_STRIP_BYTE_COUNTS)
-    if counts is None:  # single strip, derivable
-        counts = [length * width * (bits // 8)]
+    if counts is None:
+        if len(offsets) == 1:  # single strip, derivable
+            counts = [length * width * (bits // 8)]
+        else:
+            # per-strip counts from RowsPerStrip — pairing only the first
+            # offset with the whole-image count would mis-assemble
+            # non-contiguous strips
+            rps = ifd.get(_TAG_ROWS_PER_STRIP, [None])[0]
+            if not rps:
+                raise ValueError(
+                    f"{path}: {len(offsets)} strips but no "
+                    "StripByteCounts/RowsPerStrip to derive them")
+            row_bytes = width * (bits // 8)
+            counts = [min(rps, length - i * rps) * row_bytes
+                      for i in range(len(offsets))]
     raw = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
     expect = length * width * (bits // 8)
     if len(raw) < expect:
@@ -169,7 +182,7 @@ def _pack_entries(order, entries, heap, heap_base):
 
 def write_dng(path, img, rows_per_strip=None, active_area=None,
               compression=1, big_endian=False, use_subifd=False,
-              subifd_type=4):
+              subifd_type=4, omit_byte_counts=False):
     """Write a minimal uncompressed CFA DNG (testing/synthesis aid).
 
     Args:
@@ -212,8 +225,9 @@ def write_dng(path, img, rows_per_strip=None, active_area=None,
         (_TAG_STRIP_OFFSETS, 4, strip_offsets),
         (_TAG_SAMPLES_PER_PIXEL, 3, [1]),
         (_TAG_ROWS_PER_STRIP, 4, [rps]),
-        (_TAG_STRIP_BYTE_COUNTS, 4, strip_counts),
     ]
+    if not omit_byte_counts:  # some writers omit it; reader must derive
+        raw_entries.append((_TAG_STRIP_BYTE_COUNTS, 4, strip_counts))
     if active_area is not None:
         raw_entries.append((_TAG_ACTIVE_AREA, 4, list(active_area)))
 

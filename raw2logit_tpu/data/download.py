@@ -138,16 +138,23 @@ def b2_download_folder(b2_dir, local_dir, force_download=False,
     def _complete_content(d):
         # .part leftovers are NOT content — treating them as such would
         # skip the sync and strand the resume logic in fetch()
-        return any(not name.endswith(".part") for name in os.listdir(d))
+        return os.path.isdir(d) and any(
+            not name.endswith(".part") for name in os.listdir(d))
 
-    if os.path.isdir(local_dir) and _complete_content(local_dir) \
-            and not force_download:
-        return local_dir
     folder = mirror_folder or _B2_TO_RECORD.get(b2_dir, b2_dir)
     try:
+        # always consult the manifest: its per-file size check skips
+        # complete files cheaply, so an interrupted multi-file sync picks
+        # up the missing files instead of short-circuiting on the first
+        # complete one
         return download_record_folder(folder, local_dir, api_url=api_url,
                                       force_download=force_download)
     except (urllib.error.URLError, OSError, ValueError) as e:
+        if _complete_content(local_dir) and not force_download:
+            # offline but previously synced — serve what's on disk
+            print(f"dataset mirror unreachable ({e}); using existing "
+                  f"content in {local_dir}")
+            return local_dir
         raise FileNotFoundError(
             f"could not sync '{b2_dir}' -> {local_dir}: {e}\n"
             f"This machine cannot reach the dataset mirror. Download the "

@@ -48,6 +48,7 @@ class Run:
         self._metrics_fh = None
         self._mlflow = self._mlflow_run = None
         uri = tracking_uri or os.environ.get("MLFLOW_TRACKING_URI")
+        self._tracking_uri = uri
         if uri:
             try:
                 import mlflow
@@ -105,8 +106,13 @@ class Run:
         return d
 
     def child(self, run_name: str) -> "Run":
-        """Nested run (the reference's per-fold child runs, train.py:322)."""
-        return Run(self.experiment_name, run_name, parent=self)
+        """Nested run (the reference's per-fold child runs, train.py:322).
+
+        Forwards the resolved tracking URI so a mirror enabled via the
+        --tracking_uri flag (not the env var) also mirrors the per-fold
+        children where the train/val metrics actually land."""
+        return Run(self.experiment_name, run_name, parent=self,
+                   tracking_uri=self._tracking_uri)
 
     def close(self):
         if self._metrics_fh is not None:

@@ -59,3 +59,72 @@ def normalize(img):
     mu = img.mean(axis=(0, 1))
     sigma = img.std(axis=(0, 1))
     return (img - mu) / (sigma + 1e-4), mu, sigma
+
+
+def data_loader_mean_and_std(data_loader, transform=None):
+    """Per-channel mean/std averaged over loader batches.
+
+    Reference semantics (utils/base.py:232-240): compute each batch's
+    per-channel mean and std, then average those across batches (NOT a
+    pooled estimate — small trailing batches weigh equally, as there).
+    Batches here are NHWC (or NHW grayscale) numpy/jnp arrays; returns
+    two (C,) float arrays.
+    """
+    means, stds = [], []
+    for x, _y in data_loader:
+        x = np.asarray(x, np.float64)
+        if transform is not None:
+            x = np.asarray(transform(x), np.float64)
+        if x.ndim == 3:  # NHW grayscale -> one channel
+            x = x[..., None]
+        means.append(x.mean(axis=(0, 1, 2)))
+        # torch .std defaults to the unbiased (ddof=1) estimator
+        stds.append(x.std(axis=(0, 1, 2), ddof=1))
+    return (np.stack(means).mean(axis=0).astype(np.float32),
+            np.stack(stds).mean(axis=0).astype(np.float32))
+
+
+def get_statistics(dataset, train_indices, transform=None):
+    """Mean/std of one whole dataset subset in a single pass.
+
+    Reference semantics (processing/pipeline_numpy.py:306-329): gather
+    the entire subset as one batch and reduce. Grayscale (H, W) items
+    reduce over everything to scalars; (H, W, C) items reduce per
+    channel. Returns (mean, std) float32 arrays (shape () or (C,)).
+    """
+    imgs = []
+    for i in train_indices:
+        x = np.asarray(dataset[int(i)][0], np.float64)
+        if transform is not None:
+            x = np.asarray(transform(x), np.float64)
+        imgs.append(x)
+    batch = np.stack(imgs)
+    if batch.ndim == 3:  # (N, H, W) grayscale mosaics -> scalar stats
+        return (batch.mean().astype(np.float32),
+                batch.std(ddof=1).astype(np.float32))
+    return (batch.mean(axis=(0, 1, 2)).astype(np.float32),
+            batch.std(axis=(0, 1, 2), ddof=1).astype(np.float32))
+
+
+def get_train_test_indices_drone(df, frac, seed=None):
+    """Balanced binary train/test index split of a labeled DataFrame.
+
+    Reference semantics (utils/base.py:291-322): draw
+    ``int(len(df) * frac / 2)`` rows from each label class for the train
+    set (seeded sample), the complements form the test set; each side is
+    ordered label-0 rows first then label-1 rows. Returns two lists of
+    DataFrame index values.
+    """
+    split_idx = int(len(df) * frac / 2)
+    df_with = df[df["label"] == 1]
+    df_without = df[df["label"] == 0]
+
+    np.random.seed(seed)
+    with_train = df_with.sample(n=split_idx, random_state=seed)
+    without_train = df_without.sample(n=split_idx, random_state=seed)
+    with_test = df_with.drop(with_train.index)
+    without_test = df_without.drop(without_train.index)
+
+    train_indices = list(without_train.index) + list(with_train.index)
+    test_indices = list(without_test.index) + list(with_test.index)
+    return train_indices, test_indices

@@ -29,6 +29,32 @@ def test_roundtrip_multi_strip(tmp_path):
     np.testing.assert_array_equal(read_dng(path), img)
 
 
+def test_multi_strip_missing_byte_counts(tmp_path):
+    """No StripByteCounts: multi-strip counts derive from RowsPerStrip
+    (pairing only the first offset with a whole-image count would
+    mis-assemble non-contiguous strips — ADVICE r2)."""
+    img = _mosaic(h=40)
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, rows_per_strip=16, omit_byte_counts=True)
+    np.testing.assert_array_equal(read_dng(path), img)
+
+
+def test_multi_strip_missing_counts_and_rps_raises(tmp_path):
+    import raw2logit_tpu.data.dng as dng
+
+    img = _mosaic(h=40)
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, img, rows_per_strip=16, omit_byte_counts=True)
+    data = open(path, "rb").read()
+    # also strip the RowsPerStrip tag by rewriting it to an unknown id
+    import struct
+    tag = struct.pack("<H", dng._TAG_ROWS_PER_STRIP)
+    assert tag in data
+    open(path, "wb").write(data.replace(tag + b"\x04\x00", b"\xff\x7f\x04\x00"))
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        read_dng(path)
+
+
 def test_active_area_crop(tmp_path):
     img = _mosaic(h=32, w=48)
     path = str(tmp_path / "raw.dng")

@@ -24,13 +24,17 @@ class _RangeHandler(http.server.BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
-        if self.path == "/api":
-            record = {"files": [{
+        if self.path in ("/api", "/api2"):
+            entry = {
                 "key": "folder/blob.bin",
                 "links": {"self": f"http://127.0.0.1:{self.server.server_port}/data"},
                 "size": len(PAYLOAD),
                 "checksum": "md5:" + hashlib.md5(PAYLOAD).hexdigest(),
-            }]}
+            }
+            files = [entry]
+            if self.path == "/api2":  # multi-file record
+                files = [entry, dict(entry, key="folder/blob2.bin")]
+            record = {"files": files}
             body = json.dumps(record).encode()
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
@@ -125,6 +129,32 @@ def test_fetch_discards_oversized_partial(server, tmp_path):
           expected_md5=hashlib.md5(PAYLOAD).hexdigest())
     with open(dst, "rb") as fh:
         assert fh.read() == PAYLOAD
+
+
+def test_b2_resumes_interrupted_multifile_sync(server, tmp_path):
+    """One complete file must NOT short-circuit the sync: the manifest is
+    always consulted so missing files of a multi-file record are fetched
+    (ADVICE r2: the old any-non-.part-file early-return stranded them)."""
+    local = str(tmp_path / "folder")
+    os.makedirs(local)
+    with open(os.path.join(local, "blob.bin"), "wb") as fh:
+        fh.write(PAYLOAD)  # first file fully synced, second missing
+    out = b2_download_folder("folder", local, api_url=f"{server}/api2",
+                             mirror_folder="folder")
+    with open(os.path.join(out, "blob2.bin"), "rb") as fh:
+        assert fh.read() == PAYLOAD
+
+
+def test_b2_offline_serves_existing_content(tmp_path):
+    """Mirror unreachable but content previously synced -> serve local."""
+    local = str(tmp_path / "folder")
+    os.makedirs(local)
+    with open(os.path.join(local, "blob.bin"), "wb") as fh:
+        fh.write(PAYLOAD)
+    out = b2_download_folder(
+        "folder", local, api_url="http://127.0.0.1:9/api",
+        mirror_folder="folder")
+    assert out == local
 
 
 def test_b2_skip_ignores_part_leftovers(server, tmp_path):
