@@ -279,12 +279,17 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     compile-budget window and lands in the persistent cache independently.
     Costs one ISP recompute (cheap next to the model) and 4 dispatches.
 
-    Not supported: adversarial mode (use make_train_step).
+    Adversarial mode (train.py:241-273) adds ONE small extra program: the
+    frozen default processor's forward reuses the isp_fwd program (proc BN
+    is frozen in adv mode either way, model.py:136-142), and aux_grad
+    computes the SSIM/l2 regularizer value plus its rgb cotangent, folded
+    into the task cotangent before isp_bwd.
     """
-    assert not cfg.adv_training, "staged step does not cover adv_training"
     loss_fn_task = task_loss_fn(cfg)
     aug = get_augmentation(cfg.augmentation)
-    update_proc_bn = not cfg.freeze_processor
+    aux_fn = (L.aux_loss(cfg.adv_aux_loss, cfg.adv_aux_weight)
+              if cfg.adv_training else None)
+    update_proc_bn = not cfg.freeze_processor and not cfg.adv_training
     update_clf_bn = not cfg.freeze_classifier
 
     def _isp(proc_params, proc_stats, raw):
@@ -334,6 +339,15 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         return grads[0], grads[1], new_cs, mets
 
     @jax.jit
+    def aux_grad(ref_rgb, rgb, d_rgb, task_loss):
+        """Adversarial regularizer value + rgb cotangent, fused with the
+        cotangent accumulation and the loss total (one tiny program; an
+        eager add would pay its own remote compile)."""
+        loss_aux, g = jax.value_and_grad(
+            lambda r: aux_fn(ref_rgb, r))(rgb)
+        return loss_aux, task_loss + loss_aux, d_rgb + g
+
+    @jax.jit
     def isp_bwd(proc_params, proc_stats, raw, d_rgb):
         def rgb_of(p):
             return _isp(p, proc_stats, raw)[0]
@@ -354,6 +368,14 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
         clf_g, d_rgb, new_cs, mets = clf_grad(
             state.clf_params, state.clf_stats, rgb, y, key)
+        if aux_fn is not None:
+            # frozen default pipeline forward — same compiled program as
+            # isp_fwd, applied to the reference params (train.py:248-254)
+            ref_rgb, _ = isp_fwd(state.ref_proc_params,
+                                 state.ref_proc_stats, raw)
+            loss_aux, total, d_rgb = aux_grad(ref_rgb, rgb, d_rgb,
+                                              mets["loss"])
+            mets = dict(mets, loss=total, loss_aux=loss_aux)
         if processor is not None and state.proc_params:
             proc_g = isp_bwd(state.proc_params, state.proc_stats, raw,
                              d_rgb)
@@ -372,6 +394,8 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     # per-program profiling)
     step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
                      "isp_bwd": isp_bwd, "opt_apply": opt_apply}
+    if aux_fn is not None:
+        step.programs["aux_grad"] = aux_grad
     return step
 
 

@@ -379,14 +379,11 @@ def run_train(args):
         if args.processor_uri or args.classifier_uri or pretrained_applied:
             state = jax.device_put(state, replicated_sharding(mesh))
 
-        if args.staged_step and not cfg.adv_training:
+        if args.staged_step:
             from raw2logit_tpu.training.core import make_staged_train_step
             train_step = make_staged_train_step(cfg, processor, classifier,
                                                 tx)
         else:
-            if args.staged_step:
-                print("note: --staged_step does not cover adversarial "
-                      "mode; using the monolithic step")
             train_step = make_train_step(cfg, processor, classifier, tx)
         eval_step = make_eval_step(cfg, processor, classifier)
 
