@@ -363,3 +363,45 @@ def test_staged_step_matches_monolithic_adversarial(aux):
     assert not np.array_equal(
         np.asarray(state.proc_params["gamma_correct"]),
         np.asarray(s_staged.proc_params["gamma_correct"]))
+
+
+def test_staged_adam_trajectory_tracks_monolith():
+    """The bench's headline path runs Adam through the staged step while
+    exact equivalence is only provable under SGD (sqrt(v) amplifies
+    reassociation noise). Bound the divergence over a 50-step trajectory
+    instead: the two loss curves must track closely and end at the same
+    optimization state (VERDICT r2 weak #4)."""
+    from raw2logit_tpu.isp import ParametrizedProcessing
+    from raw2logit_tpu.training import make_staged_train_step
+
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=2)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+    state, tx = create_train_state(cfg, processor, classifier, raw,
+                                   jax.random.key(0))
+
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+    staged = make_staged_train_step(cfg, processor, classifier, tx,
+                                    donate=False)
+    key = jax.random.key(11)
+    sm = ss = state
+    losses_m, losses_s = [], []
+    for i in range(50):
+        k = jax.random.fold_in(key, i)
+        sm, mm = mono(sm, raw, y, k)
+        ss, ms = staged(ss, raw, y, k)
+        losses_m.append(float(mm["loss"]))
+        losses_s.append(float(ms["loss"]))
+
+    losses_m, losses_s = np.asarray(losses_m), np.asarray(losses_s)
+    # same optimization: both descend, curves track within a small
+    # absolute band everywhere, and agree tightly at the end
+    assert losses_m[-1] < losses_m[0] and losses_s[-1] < losses_s[0]
+    band = np.abs(losses_m - losses_s)
+    assert band.max() < 0.02, f"max |d loss| {band.max():.4f}"
+    assert band.mean() < 0.005, f"mean |d loss| {band.mean():.4f}"
+    assert abs(losses_m[-1] - losses_s[-1]) < 0.01
