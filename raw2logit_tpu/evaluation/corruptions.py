@@ -65,13 +65,24 @@ def gaussian_blur(key, x, severity=1):
 
 def _clipped_zoom(img, zoom_factor):
     """Center-crop + bilinear zoom back to size (hendrycks:123-133);
-    per-image (H, W, C)."""
+    per-image (H, W, C).
+
+    The reference zooms with scipy.ndimage.zoom(order=1), whose
+    coordinates are ENDPOINT-ALIGNED (output i -> i*(in-1)/(out-1)) —
+    jax.image.resize's half-pixel-centre bilinear drifts up to ~0.018
+    from it, so interpolate at scipy's coordinates explicitly."""
     h = img.shape[0]
     ch = int(np.ceil(h / zoom_factor))
     top = (h - ch) // 2
     crop = img[top:top + ch, top:top + ch]
     zh = int(round(ch * zoom_factor))
-    zoomed = jax.image.resize(crop, (zh, zh, img.shape[2]), method="bilinear")
+    scale = (ch - 1) / (zh - 1) if zh > 1 else 0.0
+    coords = jnp.arange(zh, dtype=jnp.float32) * scale
+    yy = jnp.broadcast_to(coords[:, None], (zh, zh))
+    xx = jnp.broadcast_to(coords[None, :], (zh, zh))
+    zoomed = jnp.stack(
+        [jax.scipy.ndimage.map_coordinates(crop[..., c], [yy, xx], order=1)
+         for c in range(img.shape[2])], axis=-1)
     trim = (zh - h) // 2
     return zoomed[trim:trim + h, trim:trim + h]
 
