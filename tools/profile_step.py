@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Attribute the train step's time across the four staged programs on the
+real chip, with XLA cost-analysis rooflines (flops vs bytes) per program.
+
+The staged decomposition (training/core.py make_staged_train_step) gives
+per-program timing without a trace viewer: isp_fwd / clf_grad / isp_bwd /
+opt_apply are the whole monolithic step (VERDICT r3 item 1 attribution).
+
+Timing discipline for this backend (CLAUDE.md): warm each program past
+its one-time server-side load, then time loops ended by a device-to-host
+value fetch — block_until_ready returns early here.
+
+Usage: python tools/profile_step.py [batch] [steps]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+PEAK_BYTES = float(os.environ.get("BENCH_PEAK_BYTES", 819e9))  # v5e HBM
+
+
+def cost(executable):
+    ca = executable.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def time_program(fn, args, steps, fetch):
+    """Warm (ending with a true D2H barrier), then time `steps` calls."""
+    out = None
+    for _ in range(3):
+        out = fn(*args)
+    float(fetch(out))  # drain the one-time program load
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    float(fetch(out))
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
+    from raw2logit_tpu.isp import ParametrizedProcessing
+    from raw2logit_tpu.models import resnet_model
+    from raw2logit_tpu.training import (TrainConfig, create_train_state,
+                                        make_staged_train_step)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    size = int(os.environ.get("BENCH_SIZE", 256))
+
+    processor = ParametrizedProcessing(
+        camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=size,
+        use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
+    classifier = resnet_model("resnet18", fc_out_features=9,
+                              dtype=jnp.bfloat16)
+    cfg = TrainConfig(task="classification", lr=1e-5)
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+    state, tx = create_train_state(cfg, processor, classifier, raw,
+                                   jax.random.key(0))
+    step = make_staged_train_step(cfg, processor, classifier, tx,
+                                  donate=False)
+    key = jax.random.key(1)
+
+    # materialize the intermediate tensors each program needs
+    rgb, _ = step.programs["isp_fwd"](state.proc_params, state.proc_stats,
+                                      raw)
+    clf_g, d_rgb, _, mets = step.programs["clf_grad"](
+        state.clf_params, state.clf_stats, rgb, y, key)
+    proc_g = step.programs["isp_bwd"](state.proc_params, state.proc_stats,
+                                      raw, d_rgb)
+    float(mets["loss"])  # barrier
+
+    progs = {
+        "isp_fwd": (step.programs["isp_fwd"],
+                    (state.proc_params, state.proc_stats, raw),
+                    lambda o: o[0][0, 0, 0, 0] if o[0].ndim == 4
+                    else o[0][0, 0, 0]),
+        "clf_grad": (step.programs["clf_grad"],
+                     (state.clf_params, state.clf_stats, rgb, y, key),
+                     lambda o: o[3]["loss"]),
+        "isp_bwd": (step.programs["isp_bwd"],
+                    (state.proc_params, state.proc_stats, raw, d_rgb),
+                    lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
+        "opt_apply": (step.programs["opt_apply"],
+                      ((proc_g, clf_g), state.opt_state,
+                       (state.proc_params, state.clf_params)),
+                      lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
+    }
+
+    total = 0.0
+    report = {}
+    for name, (fn, args, fetch) in progs.items():
+        flops, nbytes = cost(fn.lower(*args).compile())
+        dt = time_program(fn, args, steps, fetch)
+        total += dt
+        report[name] = {
+            "ms": round(dt * 1e3, 3),
+            "gflops": round(flops / 1e9, 2),
+            "gbytes": round(nbytes / 1e9, 3),
+            "mfu": round(flops / dt / PEAK_FLOPS, 4),
+            "hbm_util": round(nbytes / dt / PEAK_BYTES, 4),
+            "roofline_ms": round(max(flops / PEAK_FLOPS,
+                                     nbytes / PEAK_BYTES) * 1e3, 3),
+        }
+        print(f"{name:9s} {json.dumps(report[name])}", flush=True)
+
+    print(f"TOTAL     {total * 1e3:.2f} ms  "
+          f"({batch / total:.0f} imgs/s at batch {batch})")
+    with open("results/profile_step.json", "w") as fh:
+        json.dump({"batch": batch, "size": size, "programs": report,
+                   "total_ms": round(total * 1e3, 3)}, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
