@@ -405,3 +405,22 @@ def test_staged_adam_trajectory_tracks_monolith():
     assert band.max() < 0.02, f"max |d loss| {band.max():.4f}"
     assert band.mean() < 0.005, f"mean |d loss| {band.mean():.4f}"
     assert abs(losses_m[-1] - losses_s[-1]) < 0.01
+
+
+def test_dp_gradient_allreduce_in_compiled_hlo():
+    """The DP contract (SURVEY §2.3): with the batch sharded over the
+    mesh and params replicated, XLA's SPMD partitioner must insert a
+    gradient all-reduce into the compiled train step — assert the
+    collective is actually there (VERDICT r2 item 10)."""
+    mesh = make_mesh(8)
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    processor, classifier, state, tx, raw, y = _setup(cfg, batch=16)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    raw_s, y_s = shard_batch(mesh, (np.asarray(raw), np.asarray(y)))
+    from raw2logit_tpu.parallel import replicated_sharding
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    hlo = step.lower(state_r, raw_s, y_s,
+                     jax.random.key(0)).compile().as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in compiled HLO"
+    # the module is genuinely partitioned, not replicated-everything
+    assert "replica_groups" in hlo
