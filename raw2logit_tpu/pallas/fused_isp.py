@@ -68,10 +68,12 @@ def _stencil(xp, k_ref, ksize, h, w, base=(0, 0)):
     return acc
 
 
-def _isp_kernel(raw_ref, bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
-                kblur_ref, gamma_ref, out_ref):
-    h, w = raw_ref.shape[1], raw_ref.shape[2]
-    raw = raw_ref[0]
+def _isp_compute(raw, bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
+                 kblur_ref, gamma_ref):
+    """Shared ISP math on one (H, W) mosaic; returns the three output
+    channel planes plus the intermediates the backward kernel wants as
+    residuals (deb planes, sharpened luma s, blurred luma t)."""
+    h, w = raw.shape
 
     # parity masks for the RGGB lattice
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2
@@ -114,19 +116,43 @@ def _isp_kernel(raw_ref, bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
            for k in range(3)]
 
     # sharpen Y: 3x3, zero pad
-    y = _stencil(_pad1_zero(yuv[0]), ksharp_ref, 3, h, w)
+    s = _stencil(_pad1_zero(yuv[0]), ksharp_ref, 3, h, w)
     # blur Y: 5x5, reflect pad
-    y = _stencil(_pad2_reflect(y), kblur_ref, 5, h, w)
-    yuv[0] = y
+    t_lum = _stencil(_pad2_reflect(s), kblur_ref, 5, h, w)
+    yuv[0] = t_lum
 
     # YUV->RGB, clip, gamma
     inv_g = 1.0 / gamma_ref[0, 0]
+    outs = []
     for c in range(3):
         v = (minv_ref[c, 0] * yuv[0] + minv_ref[c, 1] * yuv[1]
              + minv_ref[c, 2] * yuv[2])
         v = jnp.clip(v, 1e-5, 1.0)
-        v = jnp.exp(jnp.log(v) * inv_g)
-        out_ref[0, c] = v
+        outs.append(jnp.exp(jnp.log(v) * inv_g))
+    return outs, deb, s, t_lum
+
+
+def _isp_kernel(raw_ref, bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
+                kblur_ref, gamma_ref, out_ref):
+    outs, _, _, _ = _isp_compute(raw_ref[0], bl_ref, kdeb_ref, a_ref,
+                                 minv_ref, ksharp_ref, kblur_ref, gamma_ref)
+    for c in range(3):
+        out_ref[0, c] = outs[c]
+
+
+def _isp_kernel_train(raw_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
+                      ksharp_ref, kblur_ref, gamma_ref, out_ref, res_ref):
+    """Training forward: also stores the residual planes the hand-written
+    backward kernel consumes instead of recomputing ~230 plane-ops/image
+    (res layout: [deb0, deb1, deb2, s, t])."""
+    outs, deb, s, t_lum = _isp_compute(
+        raw_ref[0], bl_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref,
+        kblur_ref, gamma_ref)
+    for c in range(3):
+        out_ref[0, c] = outs[c]
+        res_ref[0, c] = deb[c]
+    res_ref[0, 3] = s
+    res_ref[0, 4] = t_lum
 
 
 def _pack_params(params):
@@ -176,6 +202,41 @@ def _fused_fwd_planar(raw, packed, interpret):
     return out
 
 
+def _fused_fwd_planar_train(raw, packed, interpret):
+    """Forward + residual planes for the recompute-free backward kernel."""
+    b, h, w = raw.shape
+    bl, kdeb2, a, minv, ksharp, kblur, gamma = packed
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    out, res = pl.pallas_call(
+        _isp_kernel_train,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem((1, 4)), smem((9, 9)), smem((3, 3)), smem((3, 3)),
+            smem((3, 3)), smem((5, 5)), smem((1, 1)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 5, h, w), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * (81 * 2 + 9 * 2 + 25 * 2 + 18 + 10),
+            bytes_accessed=b * h * w * 4 * 9,
+            transcendentals=b * h * w * 3 * 2,
+        ),
+    )(raw, bl, kdeb2, a, minv, ksharp, kblur, gamma)
+    return out, res
+
+
 def fused_isp_reference(raw, params):
     """Numerically-identical jnp composition (truth source + VJP donor).
     Matches ParametrizedProcessing with track_stages=False and
@@ -218,28 +279,37 @@ def fused_isp(raw, params):
     return jnp.transpose(planar, (0, 2, 3, 1))
 
 
-def _fwd(raw, params):
-    return fused_isp(raw, params), (raw, params)
-
-
-def _bwd(res, g):
-    raw, params = res
+def _bwd_choice():
+    """Backward implementation: the hand-written Pallas kernel on real TPU
+    (fused_isp_bwd.py) — Mosaic-clean selector-matrix pad/fold algebra,
+    and it keeps the step's HLO small (the jnp-autodiff ISP backward is a
+    program large enough that this environment's remote compile helper
+    gets OOM-killed on it at bench batch sizes). Elsewhere (CPU mesh):
+    differentiate the numerically-identical jnp composition — the truth
+    source, and interpret-mode Pallas would be slow. R2L_FUSED_BWD
+    overrides either way ('pallas' | 'jnp')."""
     import os
-    # Default: the hand-written recompute backward kernel on real TPU
-    # (fused_isp_bwd.py) — lands Mosaic-clean since the pad/fold algebra
-    # moved to selector-matrix matmuls, runs ~0.11 ms for a 256^2 batch of
-    # 8, and keeps the step's HLO small (the jnp-autodiff ISP backward is
-    # a program large enough that this environment's remote compile helper
-    # gets OOM-killed on it at bench batch sizes). Elsewhere (CPU mesh):
-    # differentiate the numerically-identical jnp composition — the truth
-    # source, and interpret-mode Pallas would be slow. R2L_FUSED_BWD
-    # overrides either way ('pallas' | 'jnp').
-    choice = os.environ.get("R2L_FUSED_BWD",
-                            "pallas" if _is_tpu() else "jnp")
-    if choice == "pallas":
+    return os.environ.get("R2L_FUSED_BWD", "pallas" if _is_tpu() else "jnp")
+
+
+def _fwd(raw, params):
+    if _bwd_choice() == "pallas":
+        # training forward emits the residual planes (deb, s, t) so the
+        # backward kernel skips ~230 plane-ops/image of recompute; the
+        # eval/primal path (fused_isp above) stays single-output
+        packed = _pack_params(params)
+        planar, res = _fused_fwd_planar_train(raw, packed,
+                                              interpret=not _is_tpu())
+        return jnp.transpose(planar, (0, 2, 3, 1)), (raw, params, res)
+    return fused_isp(raw, params), (raw, params, None)
+
+
+def _bwd(saved, g):
+    raw, params, res = saved
+    if _bwd_choice() == "pallas":
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         return fused_isp_bwd_pallas(raw, params, g,
-                                    interpret=not _is_tpu())
+                                    interpret=not _is_tpu(), res=res)
     _, vjp = jax.vjp(fused_isp_reference, raw, params)
     return vjp(g)
 

@@ -38,6 +38,38 @@ def _mm(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _split3(x):
+    """Three-term bf16 split: x == hi + mid + lo to ~2^-26 relative.
+    Two terms are NOT enough here: cotangent terms near the 1e-5 clip
+    floor reach ~1e3-1e5 and cancel in the fold sums, so a 2^-17 split
+    error became ~3e-2 absolute on the summed gradient."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _mm_sel_x(p_sel, x, terms=3):
+    """0/1-selector @ data with the data split into ``terms`` DEFAULT
+    (single-pass bf16) matmuls. The selector is EXACT in bf16, so each
+    pass is an exact f32-accumulated copy — 2-3 MXU passes instead of
+    HIGHEST's 6. terms=2 (~2^-17) is enough for forward-value planes in
+    [0, 1]; the cotangent path needs terms=3 (~2^-26) because its near-
+    clip-floor terms reach ~1e5 and cancel in the fold sums. The bwd
+    kernel runs ~26 selector matmuls per image; they are a third of its
+    runtime."""
+    ps = p_sel.astype(jnp.bfloat16)
+    return sum(jnp.dot(ps, t, preferred_element_type=jnp.float32)
+               for t in _split3(x)[:terms])
+
+
+def _mm_x_sel(x, p_sel, terms=3):
+    ps = p_sel.astype(jnp.bfloat16)
+    return sum(jnp.dot(t, ps, preferred_element_type=jnp.float32)
+               for t in _split3(x)[:terms])
+
+
 def _pad_mat(n, k, mode, transpose=False):
     """(n+2k, n) 0/1 selector P with (P @ x) padding axis 0 of x by k
     ('zero' borders or torch-'reflect' borrow); transpose=True builds P^T
@@ -59,18 +91,18 @@ def _pad_mat(n, k, mode, transpose=False):
     return sel.astype(jnp.float32)
 
 
-def _pad2d(x, k, mode):
+def _pad2d(x, k, mode, terms=3):
     """Pad both axes by k: P_h @ x @ P_w^T."""
     h, w = x.shape
-    return _mm(_mm(_pad_mat(h, k, mode), x),
-               _pad_mat(w, k, mode, transpose=True))
+    return _mm_x_sel(_mm_sel_x(_pad_mat(h, k, mode), x, terms),
+                     _pad_mat(w, k, mode, transpose=True), terms)
 
 
 def _fold2d(gp, k, mode):
     """Exact adjoint of _pad2d: P_h^T @ gp @ P_w."""
     h, w = gp.shape[0] - 2 * k, gp.shape[1] - 2 * k
-    return _mm(_mm(_pad_mat(h, k, mode, transpose=True), gp),
-               _pad_mat(w, k, mode))
+    return _mm_x_sel(_mm_sel_x(_pad_mat(h, k, mode, transpose=True), gp),
+                     _pad_mat(w, k, mode))
 
 
 def _pad1_reflect(x):
@@ -101,11 +133,22 @@ def _stencil(xp, k_ref, ksize, h, w, flip=False, base=(0, 0)):
     return acc
 
 
-def _conv_full(x, k_ref, ksize, base=(0, 0)):
+def _cat_padk_zero(x, k):
+    """Concatenate-based k-px zero pad — valid ONLY for offset-0-layout
+    operands (fresh elementwise/MXU results); Mosaic rejects it for
+    stencil-slice-carrying values (use _padk_zero there)."""
+    h, w = x.shape
+    z_row = jnp.zeros((k, w), x.dtype)
+    x = jnp.concatenate([z_row, x, z_row], axis=0)
+    z_col = jnp.zeros((h + 2 * k, k), x.dtype)
+    return jnp.concatenate([z_col, x, z_col], axis=1)
+
+
+def _conv_full(x, k_ref, ksize, base=(0, 0), cat_pad=False):
     """full-corr: out[u,v] = sum_ab K[a,b] x[u-a, v-b], out grows by
     ksize-1 per side. Implemented as zero-pad(ksize-1) + flipped VALID."""
     h, w = x.shape
-    xp = _padk_zero(x, ksize - 1)
+    xp = (_cat_padk_zero if cat_pad else _padk_zero)(x, ksize - 1)
     return _stencil(xp, k_ref, ksize, h + ksize - 1, w + ksize - 1,
                     flip=True, base=base)
 
@@ -120,10 +163,27 @@ def _fold2_reflect(gp):
     return _fold2d(gp, 2, "reflect")
 
 
+# row layout of the per-image partials tensor (1, N_PARTIALS, W): every
+# param-gradient scalar is reduced only along axis 0 (sublanes) in-kernel —
+# a full 2-D->scalar reduction costs ~3-4 extra plane passes on the VPU and
+# there are 129 of them, ~1/3 of the old kernel's time — the lane axis is
+# summed OUTSIDE by XLA over the (B, N_PARTIALS, W) output (tiny).
+_P_DKBLUR = 0           # 25 rows
+_P_DKSHARP = 25         # 9
+_P_DA = 34              # 9 (k*3+c)
+_P_DKDEB = 43           # 81 ([i*3+j]*... laid out (i*3+j)*9 + ci*3+co)
+_P_DBL = 124            # 4
+_P_DGAMMA = 128         # 1
+N_PARTIALS = 129
+
+
+def _rowsum(x):
+    return jnp.sum(x, axis=0, keepdims=True)  # (H, W) -> (1, W)
+
+
 def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
                 ksharp_ref, kblur_ref, gamma_ref,
-                draw_ref, dbl_ref, dkdeb_ref, da_ref, dksharp_ref,
-                dkblur_ref, dgamma_ref):
+                draw_ref, part_ref):
     h, w = raw_ref.shape[1], raw_ref.shape[2]
     raw = raw_ref[0]
 
@@ -163,25 +223,86 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
     t_lum = _stencil(s_pad, kblur_ref, 5, h, w)
     yuv = [t_lum, yuv0[1], yuv0[2]]
 
+    _adjoint(g_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref, kblur_ref,
+             gamma_ref, draw_ref, part_ref,
+             (r_mask, g_mask, b_mask, even_r, even_c),
+             pads, deb, y0_pad, s_pad, yuv)
+
+
+def _bwd_kernel_res(raw_ref, g_ref, res_ref, bl_ref, kdeb_ref, a_ref,
+                    minv_ref, ksharp_ref, kblur_ref, gamma_ref,
+                    draw_ref, part_ref):
+    """Residual-consuming variant: the training forward saved deb/s/t
+    (fused_isp.py _isp_kernel_train), so only the cheap mask/pad/pointwise
+    pieces are rebuilt here (~230 plane-ops/image less recompute)."""
+    h, w = raw_ref.shape[1], raw_ref.shape[2]
+    raw = raw_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 2
+    even_r, even_c = rows == 0, cols == 0
+    r_mask = even_r & even_c
+    g_mask = even_r ^ even_c
+    b_mask = (~even_r) & (~even_c)
+    bl_map = jnp.where(even_r,
+                       jnp.where(even_c, bl_ref[0, 0], bl_ref[0, 1]),
+                       jnp.where(even_c, bl_ref[0, 2], bl_ref[0, 3]))
+    x = raw - bl_map
+    planes = [jnp.where(r_mask, x, 0.0), jnp.where(g_mask, x, 0.0),
+              jnp.where(b_mask, x, 0.0)]
+    # fresh (offset-0 layout) values: the forward kernel's
+    # concatenate-based pads compile here and are exact copies — the
+    # selector-matmul pads are only needed for the cotangent path, whose
+    # operands carry stencil-slice layout offsets Mosaic's concatenate
+    # rejects
+    from raw2logit_tpu.pallas.fused_isp import (_pad1_reflect as _cat_pad1,
+                                                _pad1_zero as _cat_pad1z,
+                                                _pad2_reflect as _cat_pad2)
+    pads = [_cat_pad1(p) for p in planes]
+
+    deb = [res_ref[0, c] for c in range(3)]
+    s = res_ref[0, 3]
+    t_lum = res_ref[0, 4]
+    yuv0_0 = a_ref[0, 0] * deb[0] + a_ref[0, 1] * deb[1] \
+        + a_ref[0, 2] * deb[2]
+    yuv1 = a_ref[1, 0] * deb[0] + a_ref[1, 1] * deb[1] \
+        + a_ref[1, 2] * deb[2]
+    yuv2 = a_ref[2, 0] * deb[0] + a_ref[2, 1] * deb[1] \
+        + a_ref[2, 2] * deb[2]
+    y0_pad = _cat_pad1z(yuv0_0)
+    s_pad = _cat_pad2(s)
+    yuv = [t_lum, yuv1, yuv2]
+
+    _adjoint(g_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref, kblur_ref,
+             gamma_ref, draw_ref, part_ref,
+             (r_mask, g_mask, b_mask, even_r, even_c),
+             pads, deb, y0_pad, s_pad, yuv)
+
+
+def _adjoint(g_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref, kblur_ref,
+             gamma_ref, draw_ref, part_ref, masks, pads, deb, y0_pad,
+             s_pad, yuv):
+    r_mask, g_mask, b_mask, even_r, even_c = masks
+    h, w = draw_ref.shape[1], draw_ref.shape[2]
+
     inv_g = 1.0 / gamma_ref[0, 0]
     v = [minv_ref[c, 0] * yuv[0] + minv_ref[c, 1] * yuv[1]
          + minv_ref[c, 2] * yuv[2] for c in range(3)]
     cl = [jnp.clip(vc, 1e-5, 1.0) for vc in v]
     out = [jnp.exp(jnp.log(clc) * inv_g) for clc in cl]
 
-    # ---- backward ----------------------------------------------------------
     gs = [g_ref[0, c] for c in range(3)]
 
-    dgamma = jnp.zeros((), jnp.float32)
+    dgamma_row = None
     dv = []
     for c in range(3):
         dout_dcl = out[c] * inv_g / cl[c]
         dcl = gs[c] * dout_dcl
-        dgamma += jnp.sum(gs[c] * out[c] * (-jnp.log(cl[c]))
-                          * inv_g * inv_g)
+        t = _rowsum(gs[c] * out[c] * (-jnp.log(cl[c])) * inv_g * inv_g)
+        dgamma_row = t if dgamma_row is None else dgamma_row + t
         in_range = (v[c] >= 1e-5) & (v[c] <= 1.0)
         dv.append(jnp.where(in_range, dcl, 0.0))
-    dgamma_ref[0, 0, 0] = dgamma
+    part_ref[0, _P_DGAMMA:_P_DGAMMA + 1, :] = dgamma_row
 
     dt = minv_ref[0, 0] * dv[0] + minv_ref[1, 0] * dv[1] + \
         minv_ref[2, 0] * dv[2]
@@ -193,16 +314,19 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
     # blur adjoint
     for a in range(5):
         for b in range(5):
-            dkblur_ref[0, 0, a * 5 + b] = jnp.sum(
-                dt * s_pad[a:a + h, b:b + w])
-    ds = _fold2_reflect(_conv_full(dt, kblur_ref, 5))
+            part_ref[0, _P_DKBLUR + a * 5 + b:_P_DKBLUR + a * 5 + b + 1, :] \
+                = _rowsum(dt * s_pad[a:a + h, b:b + w])
+    # dt is pure elementwise on loads (offset-0) and ds is a fold (MXU)
+    # result — both take the exact concatenate zero-pad
+    ds = _fold2_reflect(_conv_full(dt, kblur_ref, 5, cat_pad=True))
 
     # sharpen adjoint (zero pad -> crop)
     for a in range(3):
         for b in range(3):
-            dksharp_ref[0, 0, a * 3 + b] = jnp.sum(
+            part_ref[0, _P_DKSHARP + a * 3 + b:
+                     _P_DKSHARP + a * 3 + b + 1, :] = _rowsum(
                 ds * y0_pad[a:a + h, b:b + w])
-    dy0_full = _conv_full(ds, ksharp_ref, 3)
+    dy0_full = _conv_full(ds, ksharp_ref, 3, cat_pad=True)
     dyuv0_0 = dy0_full[1:1 + h, 1:1 + w]
 
     dyuv0 = [dyuv0_0, dyuv1, dyuv2]
@@ -211,25 +335,30 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
     ddeb = []
     for c in range(3):
         for k in range(3):
-            da_ref[0, k, c] = jnp.sum(dyuv0[k] * deb[c])
+            part_ref[0, _P_DA + k * 3 + c:_P_DA + k * 3 + c + 1, :] = \
+                _rowsum(dyuv0[k] * deb[c])
         ddeb.append(a_ref[0, c] * dyuv0[0] + a_ref[1, c] * dyuv0[1]
                     + a_ref[2, c] * dyuv0[2])
 
-    # debayer adjoint
+    # debayer adjoint. The zero-padded cotangent planes depend only on
+    # co — hoisted out of the ci loop (12 fewer selector matmuls/image).
+    # ddeb inherits dyuv0_0's stencil-slice layout offset — Mosaic rejects
+    # concatenate here (verified); selector matmul stays
+    xps = [_padk_zero(ddeb[co], 2) for co in range(3)]
     dp = []
     for ci in range(3):
         acc = None
         for co in range(3):
             for i in range(3):
                 for j in range(3):
-                    dkdeb_ref[0, i * 3 + j, ci * 3 + co] = jnp.sum(
+                    idx = _P_DKDEB + (i * 3 + j) * 9 + ci * 3 + co
+                    part_ref[0, idx:idx + 1, :] = _rowsum(
                         ddeb[co] * pads[ci][i:i + h, j:j + w])
             # full-corr with the (ci, co) sub-kernel
             t = None
-            xp = _padk_zero(ddeb[co], 2)
             for i in range(3):
                 for j in range(3):
-                    tap = xp[i:i + h + 2, j:j + w + 2] * \
+                    tap = xps[co][i:i + h + 2, j:j + w + 2] * \
                         kdeb_ref[(2 - i) * 3 + (2 - j), ci * 3 + co]
                     t = tap if t is None else t + tap
             acc = t if acc is None else acc + t
@@ -239,15 +368,21 @@ def _bwd_kernel(raw_ref, g_ref, bl_ref, kdeb_ref, a_ref, minv_ref,
                      jnp.where(g_mask, dp[1], dp[2]))
     draw_ref[0] = draw
 
-    dbl_ref[0, 0, 0] = -jnp.sum(jnp.where(r_mask, dp[0], 0.0))
-    dbl_ref[0, 0, 1] = -jnp.sum(jnp.where(even_r & (~even_c), dp[1], 0.0))
-    dbl_ref[0, 0, 2] = -jnp.sum(jnp.where((~even_r) & even_c, dp[1], 0.0))
-    dbl_ref[0, 0, 3] = -jnp.sum(jnp.where(b_mask, dp[2], 0.0))
+    part_ref[0, _P_DBL + 0:_P_DBL + 1, :] = \
+        -_rowsum(jnp.where(r_mask, dp[0], 0.0))
+    part_ref[0, _P_DBL + 1:_P_DBL + 2, :] = \
+        -_rowsum(jnp.where(even_r & (~even_c), dp[1], 0.0))
+    part_ref[0, _P_DBL + 2:_P_DBL + 3, :] = \
+        -_rowsum(jnp.where((~even_r) & even_c, dp[1], 0.0))
+    part_ref[0, _P_DBL + 3:_P_DBL + 4, :] = \
+        -_rowsum(jnp.where(b_mask, dp[2], 0.0))
 
 
-def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret):
+def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret, res=None):
     """raw (B,H,W), params dict, cotangent (B,H,W,3) -> (draw, param grads).
 
+    ``res`` (B, 5, H, W): residual planes from the training forward
+    (deb0..2, s, t) — when given, the kernel skips the forward recompute.
     Returns grads in the same tree structure as ``params``."""
     from raw2logit_tpu.pallas.fused_isp import _pack_params
 
@@ -257,38 +392,41 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret):
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
-    smem_out = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
-        memory_space=pltpu.SMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((b, h, w), jnp.float32),      # draw
-        jax.ShapeDtypeStruct((b, 1, 4), jnp.float32),      # dbl
-        jax.ShapeDtypeStruct((b, 9, 9), jnp.float32),      # dkdeb
-        jax.ShapeDtypeStruct((b, 3, 3), jnp.float32),      # dA
-        jax.ShapeDtypeStruct((b, 1, 9), jnp.float32),     # dksharp
-        jax.ShapeDtypeStruct((b, 1, 25), jnp.float32),     # dkblur
-        jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),      # dgamma
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),            # draw
+        jax.ShapeDtypeStruct((b, N_PARTIALS, w), jnp.float32),   # partials
     )
     out_specs = (
         pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        smem_out((1, 4)), smem_out((9, 9)), smem_out((3, 3)),
-        smem_out((1, 9)), smem_out((1, 25)), smem_out((1, 1)),
+        pl.BlockSpec((1, N_PARTIALS, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     )
 
-    draw, dbl_b, dkdeb_b, da_b, dksharp_b, dkblur_b, dgamma_b = \
+    plane_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    smem_specs = [smem((1, 4)), smem((9, 9)), smem((3, 3)), smem((3, 3)),
+                  smem((3, 3)), smem((5, 5)), smem((1, 1))]
+    scalars = (bl, kdeb2, a, minv, ksharp, kblur, gamma)
+    if res is not None:
+        kernel = _bwd_kernel_res
+        in_specs = [plane_spec, g_spec,
+                    pl.BlockSpec((1, 5, h, w), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)] + smem_specs
+        operands = (raw, g_planar, res) + scalars
+    else:
+        kernel = _bwd_kernel
+        in_specs = [plane_spec, g_spec] + smem_specs
+        operands = (raw, g_planar) + scalars
+
+    draw, part_b = \
         pl.pallas_call(
-            _bwd_kernel,
+            kernel,
             grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                smem((1, 4)), smem((9, 9)), smem((3, 3)), smem((3, 3)),
-                smem((3, 3)), smem((5, 5)), smem((1, 1)),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
@@ -297,15 +435,17 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret):
             # (v5e has 128 MB VMEM)
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(raw, g_planar, bl, kdeb2, a, minv, ksharp, kblur, gamma)
+        )(*operands)
 
-    # reduce per-image partials and chain dA -> (dwb, dccm)
-    dbl = jnp.sum(dbl_b, axis=0).reshape(4)
-    dkdeb = jnp.sum(dkdeb_b, axis=0).reshape(3, 3, 3, 3)
-    da = jnp.sum(da_b, axis=0)
-    dksharp = jnp.sum(dksharp_b, axis=0).reshape(3, 3)
-    dkblur = jnp.sum(dkblur_b, axis=0).reshape(5, 5)
-    dgamma = jnp.sum(dgamma_b, axis=0).reshape(())
+    # finish the lane-axis + batch reduction outside (tiny: B x 129 x W)
+    # and chain dA -> (dwb, dccm)
+    scal = jnp.sum(part_b, axis=(0, 2))                      # (N_PARTIALS,)
+    dkblur = scal[_P_DKBLUR:_P_DKBLUR + 25].reshape(5, 5)
+    dksharp = scal[_P_DKSHARP:_P_DKSHARP + 9].reshape(3, 3)
+    da = scal[_P_DA:_P_DA + 9].reshape(3, 3)
+    dkdeb = scal[_P_DKDEB:_P_DKDEB + 81].reshape(3, 3, 3, 3)
+    dbl = scal[_P_DBL:_P_DBL + 4]
+    dgamma = scal[_P_DGAMMA].reshape(())
 
     m = jnp.asarray(constants.M_RGB_2_YUV, jnp.float32)
     wb = jnp.asarray(params["white_balance"], jnp.float32).reshape(3)

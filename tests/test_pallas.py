@@ -157,3 +157,54 @@ def test_pallas_backward_kernel_compiled_on_tpu(raw_batch):
     for k in dparams_ref:
         a, b = np.asarray(dparams[k]), np.asarray(dparams_ref[k])
         assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-3) < 2e-2, k
+
+
+def test_backward_kernel_residual_variant_matches(raw_batch):
+    """The residual-consuming bwd kernel (fed by the training forward's
+    saved deb/s/t planes) must equal the recompute variant exactly —
+    same algorithm, same order, just without the recompute."""
+    from raw2logit_tpu.pallas.fused_isp import (_fused_fwd_planar_train,
+                                                _pack_params)
+    from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
+    raw = jnp.asarray(raw_batch[:2])
+    _, variables = _params(raw)
+    params = variables["params"]
+
+    out_planar, res = _fused_fwd_planar_train(raw, _pack_params(params),
+                                              interpret=True)
+    g = jnp.transpose(out_planar, (0, 2, 3, 1)) * 0.5 + 0.1
+
+    draw_a, dp_a = fused_isp_bwd_pallas(raw, params, g, interpret=True)
+    draw_b, dp_b = fused_isp_bwd_pallas(raw, params, g, interpret=True,
+                                        res=res)
+    np.testing.assert_allclose(np.asarray(draw_a), np.asarray(draw_b),
+                               rtol=1e-6, atol=1e-6)
+    for k in dp_a:
+        np.testing.assert_allclose(np.asarray(dp_a[k]), np.asarray(dp_b[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_custom_vjp_pallas_choice_uses_residual_forward(raw_batch,
+                                                       monkeypatch):
+    """With R2L_FUSED_BWD=pallas the custom VJP runs the residual-saving
+    training forward + residual bwd kernel; grads must still match the
+    jnp truth source (interpret mode)."""
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    raw = jnp.asarray(raw_batch[:2])
+    _, variables = _params(raw)
+    params = variables["params"]
+
+    def loss_fused(raw, params):
+        return jnp.sum(fused_isp(raw, params) ** 2)
+
+    def loss_ref(raw, params):
+        return jnp.sum(fused_isp_reference(raw, params) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(raw, params)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(raw, params)
+    np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]),
+                               rtol=1e-3, atol=1e-3)
+    for k in g_ref[1]:
+        np.testing.assert_allclose(np.asarray(g_fused[1][k]),
+                                   np.asarray(g_ref[1][k]),
+                                   rtol=2e-3, atol=2e-3, err_msg=k)
