@@ -118,19 +118,11 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
                             jax.random.fold_in(key, 0)).compile()
             flops = _flops_of(ex)
         elif mode == "train_staged":
-            # sum XLA's cost analysis over the four staged programs
+            # sum XLA's cost analysis over the staged programs (the step
+            # knows its own program signatures — fast-pallas vs generic)
             flops = 0.0
-            for prog, args in (
-                    (step.programs["isp_fwd"],
-                     (state.proc_params, state.proc_stats, raw)),
-                    (step.programs["clf_grad"],
-                     (state.clf_params, state.clf_stats,
-                      jnp.zeros(raw.shape + (3,), jnp.float32), y,
-                      jax.random.fold_in(key, 0))),
-                    (step.programs["isp_bwd"],
-                     (state.proc_params, state.proc_stats, raw,
-                      jnp.zeros(raw.shape + (3,), jnp.float32))),
-            ):
+            for prog, args in step.cost_entries(
+                    state, raw, y, jax.random.fold_in(key, 0)):
                 flops += _flops_of(prog.lower(*args).compile()) or 0.0
             flops = flops or None
         elif mode == "infer":

@@ -307,6 +307,80 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     def isp_fwd(proc_params, proc_stats, raw):
         return _isp(proc_params, proc_stats, raw)
 
+    # ---- fast Pallas path: hand the backward program the training
+    # forward's residual planes instead of re-running the fused kernel
+    # inside its vjp (the custom_vjp recompute cost ~6 ms/step at batch
+    # 256 when the programs are split). Only for the fused-kernel
+    # processor with the Pallas backward selected (TPU default).
+    def _pallas_fast():
+        from raw2logit_tpu.pallas.fused_isp import _bwd_choice
+        return (processor is not None
+                and getattr(processor, "use_pallas", False)
+                and not getattr(processor, "track_stages", False)
+                and _bwd_choice() == "pallas")
+
+    _KERNEL_KEYS = ("black_level", "debayer", "white_balance",
+                    "colour_correction", "sharpening_filter",
+                    "gaussian_blur", "gamma_correct")
+
+    def _bn_stats(proc_stats):
+        return {"batch_norm": proc_stats["batch_norm"]} \
+            if "batch_norm" in proc_stats else None
+
+    @jax.jit
+    def isp_fwd_fast(proc_params, proc_stats, raw):
+        from raw2logit_tpu.isp.batchnorm import TorchBatchNorm
+        from raw2logit_tpu.pallas.fused_isp import (_fused_fwd_planar_train,
+                                                    _is_tpu, _pack_params)
+        kp = {k: proc_params[k] for k in _KERNEL_KEYS}
+        planar, res = _fused_fwd_planar_train(raw, _pack_params(kp),
+                                              interpret=not _is_tpu())
+        pre = jnp.transpose(planar, (0, 2, 3, 1))
+        if "additive_layer" in proc_params:
+            pre = pre + proc_params["additive_layer"]
+        new_stats = proc_stats
+        rgb = pre
+        if "batch_norm" in proc_stats:
+            bn = TorchBatchNorm()
+            if update_proc_bn:
+                rgb, mut = bn.apply(
+                    {"batch_stats": proc_stats["batch_norm"]}, pre,
+                    use_running_average=False, mutable=["batch_stats"])
+                new_stats = dict(proc_stats,
+                                 batch_norm=mut["batch_stats"])
+            else:
+                rgb = bn.apply({"batch_stats": proc_stats["batch_norm"]},
+                               pre, use_running_average=True)
+        return rgb, new_stats, pre, res
+
+    @jax.jit
+    def isp_bwd_fast(proc_params, proc_stats, raw, pre, res, d_rgb):
+        from raw2logit_tpu.isp.batchnorm import TorchBatchNorm
+        from raw2logit_tpu.pallas.fused_isp import _is_tpu
+        from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
+        d_pre = d_rgb
+        if "batch_norm" in proc_stats:
+            bn = TorchBatchNorm()
+            bn_vars = {"batch_stats": proc_stats["batch_norm"]}
+
+            def through_bn(x):
+                if update_proc_bn:
+                    # train mode mutates running stats; only the output
+                    # (and its batch-stat gradient path) matters here
+                    return bn.apply(bn_vars, x, use_running_average=False,
+                                    mutable=["batch_stats"])[0]
+                return bn.apply(bn_vars, x, use_running_average=True)
+
+            _, bn_vjp = jax.vjp(through_bn, pre)
+            d_pre, = bn_vjp(d_rgb)
+        kp = {k: proc_params[k] for k in _KERNEL_KEYS}
+        _, dkp = fused_isp_bwd_pallas(raw, kp, d_pre,
+                                      interpret=not _is_tpu(), res=res)
+        grads = dict(dkp)
+        if "additive_layer" in proc_params:
+            grads["additive_layer"] = jnp.sum(d_pre, axis=0, keepdims=True)
+        return {k: grads[k] for k in proc_params}
+
     @jax.jit
     def clf_grad(clf_params, clf_stats, rgb, y, key):
         def loss_fn(clf_params, rgb):
@@ -364,21 +438,36 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     opt_apply = jax.jit(_opt_apply,
                         donate_argnums=(0, 1, 2) if donate else ())
 
+    fast = _pallas_fast()
+
     def step(state: TrainState, raw, y, key):
-        rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
+        if fast:
+            rgb, new_ps, pre, res = isp_fwd_fast(
+                state.proc_params, state.proc_stats, raw)
+        else:
+            rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
         clf_g, d_rgb, new_cs, mets = clf_grad(
             state.clf_params, state.clf_stats, rgb, y, key)
         if aux_fn is not None:
             # frozen default pipeline forward — same compiled program as
-            # isp_fwd, applied to the reference params (train.py:248-254)
-            ref_rgb, _ = isp_fwd(state.ref_proc_params,
-                                 state.ref_proc_stats, raw)
+            # the main forward, applied to the reference params
+            # (train.py:248-254)
+            if fast:
+                ref_rgb = isp_fwd_fast(state.ref_proc_params,
+                                       state.ref_proc_stats, raw)[0]
+            else:
+                ref_rgb, _ = isp_fwd(state.ref_proc_params,
+                                     state.ref_proc_stats, raw)
             loss_aux, total, d_rgb = aux_grad(ref_rgb, rgb, d_rgb,
                                               mets["loss"])
             mets = dict(mets, loss=total, loss_aux=loss_aux)
         if processor is not None and state.proc_params:
-            proc_g = isp_bwd(state.proc_params, state.proc_stats, raw,
-                             d_rgb)
+            if fast:
+                proc_g = isp_bwd_fast(state.proc_params, state.proc_stats,
+                                      raw, pre, res, d_rgb)
+            else:
+                proc_g = isp_bwd(state.proc_params, state.proc_stats, raw,
+                                 d_rgb)
         else:
             proc_g = state.proc_params
         (new_proc, new_clf), new_opt = opt_apply(
@@ -392,10 +481,37 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
 
     # expose the constituent jitted programs (bench cost analysis,
     # per-program profiling)
-    step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
-                     "isp_bwd": isp_bwd, "opt_apply": opt_apply}
+    if fast:
+        step.programs = {"isp_fwd": isp_fwd_fast, "clf_grad": clf_grad,
+                         "isp_bwd": isp_bwd_fast, "opt_apply": opt_apply}
+    else:
+        step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
+                         "isp_bwd": isp_bwd, "opt_apply": opt_apply}
     if aux_fn is not None:
         step.programs["aux_grad"] = aux_grad
+
+    def cost_entries(state, raw, y, key):
+        """(program, example_args) pairs covering the step's compute —
+        for XLA cost-analysis summation without re-deriving signatures."""
+        rgb0 = jnp.zeros(raw.shape + (3,), jnp.float32)
+        ents = [(clf_grad, (state.clf_params, state.clf_stats, rgb0, y,
+                            key))]
+        if fast:
+            ents.append((isp_fwd_fast,
+                         (state.proc_params, state.proc_stats, raw)))
+            res0 = jnp.zeros((raw.shape[0], 5) + raw.shape[1:],
+                             jnp.float32)
+            ents.append((isp_bwd_fast,
+                         (state.proc_params, state.proc_stats, raw, rgb0,
+                          res0, rgb0)))
+        elif processor is not None:
+            ents.append((isp_fwd,
+                         (state.proc_params, state.proc_stats, raw)))
+            ents.append((isp_bwd,
+                         (state.proc_params, state.proc_stats, raw, rgb0)))
+        return ents
+
+    step.cost_entries = cost_entries
     return step
 
 

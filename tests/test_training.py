@@ -424,3 +424,45 @@ def test_dp_gradient_allreduce_in_compiled_hlo():
     assert "all-reduce" in hlo, "no gradient all-reduce in compiled HLO"
     # the module is genuinely partitioned, not replicated-everything
     assert "replica_groups" in hlo
+
+
+def test_staged_fast_pallas_path_matches_monolith(monkeypatch):
+    """The fast staged ISP path (residual planes handed across the
+    program boundary + standalone BN, active when the Pallas backward is
+    selected) must compute the same update as the monolithic step with
+    the same kernels (interpret mode on CPU)."""
+    import optax
+    from raw2logit_tpu.isp import ParametrizedProcessing
+    from raw2logit_tpu.training import make_staged_train_step
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=3)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32,
+        use_pallas=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+    tx = optax.sgd(1e-3)
+    state = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+    staged = make_staged_train_step(cfg, processor, classifier, tx,
+                                    donate=False)
+    key = jax.random.key(5)
+    s_mono, m_mono = mono(state, raw, y, key)
+    s_staged, m_staged = staged(state, raw, y, key)
+
+    assert abs(float(m_mono["loss"]) - float(m_staged["loss"])) < 1e-5
+    flat_mono = jax.tree_util.tree_leaves(
+        (s_mono.proc_params, s_mono.clf_params, s_mono.proc_stats))
+    flat_staged = jax.tree_util.tree_leaves(
+        (s_staged.proc_params, s_staged.clf_params, s_staged.proc_stats))
+    for a, b in zip(flat_mono, flat_staged):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)
