@@ -341,41 +341,51 @@ def _adjoint(g_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref, kblur_ref,
                     + a_ref[2, c] * dyuv0[2])
 
     # debayer adjoint. The zero-padded cotangent planes depend only on
-    # co — hoisted out of the ci loop (12 fewer selector matmuls/image).
+    # co — hoisted out of the tap loop (fewer selector matmuls/image).
     # ddeb inherits dyuv0_0's stencil-slice layout offset — Mosaic rejects
     # concatenate here (verified); selector matmul stays
     xps = [_padk_zero(ddeb[co], 2) for co in range(3)]
-    dp = []
     for ci in range(3):
-        acc = None
         for co in range(3):
             for i in range(3):
                 for j in range(3):
                     idx = _P_DKDEB + (i * 3 + j) * 9 + ci * 3 + co
                     part_ref[0, idx:idx + 1, :] = _rowsum(
                         ddeb[co] * pads[ci][i:i + h, j:j + w])
-            # full-corr with the (ci, co) sub-kernel
-            t = None
-            for i in range(3):
-                for j in range(3):
-                    tap = xps[co][i:i + h + 2, j:j + w + 2] * \
-                        kdeb_ref[(2 - i) * 3 + (2 - j), ci * 3 + co]
-                    t = tap if t is None else t + tap
-            acc = t if acc is None else acc + t
-        dp.append(_fold1_reflect(acc))
 
-    draw = jnp.where(r_mask, dp[0],
-                     jnp.where(g_mask, dp[1], dp[2]))
+    # dxp(q) = sum_{t,co} ddeb_co(q-t) K[t, ch(q-1), co]: every mosaic
+    # site feeds exactly ONE input channel, so the channel select factors
+    # out per site — one site-coefficient full-corr + ONE fold replaces
+    # three per-channel full-corrs + three folds (54 plane-ops and 4
+    # selector matmuls fewer). On the (h+2, w+2) full-corr grid, position
+    # q maps to source index q-1, so parity flips.
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (h + 2, w + 2), 0) % 2
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (h + 2, w + 2), 1) % 2
+    src_even_r = rows2 == 1  # (q-1) even <=> q odd
+    src_even_c = cols2 == 1
+    acc = None
+    for i in range(3):
+        for j in range(3):
+            t = (2 - i) * 3 + (2 - j)  # flipped tap index
+            for co in range(3):
+                coef = jnp.where(
+                    src_even_r & src_even_c, kdeb_ref[t, 0 * 3 + co],
+                    jnp.where((~src_even_r) & (~src_even_c),
+                              kdeb_ref[t, 2 * 3 + co],
+                              kdeb_ref[t, 1 * 3 + co]))
+                tap = xps[co][i:i + h + 2, j:j + w + 2] * coef
+                acc = tap if acc is None else acc + tap
+    draw = _fold1_reflect(acc)
     draw_ref[0] = draw
 
     part_ref[0, _P_DBL + 0:_P_DBL + 1, :] = \
-        -_rowsum(jnp.where(r_mask, dp[0], 0.0))
+        -_rowsum(jnp.where(r_mask, draw, 0.0))
     part_ref[0, _P_DBL + 1:_P_DBL + 2, :] = \
-        -_rowsum(jnp.where(even_r & (~even_c), dp[1], 0.0))
+        -_rowsum(jnp.where(even_r & (~even_c), draw, 0.0))
     part_ref[0, _P_DBL + 2:_P_DBL + 3, :] = \
-        -_rowsum(jnp.where((~even_r) & even_c, dp[1], 0.0))
+        -_rowsum(jnp.where((~even_r) & even_c, draw, 0.0))
     part_ref[0, _P_DBL + 3:_P_DBL + 4, :] = \
-        -_rowsum(jnp.where(b_mask, dp[2], 0.0))
+        -_rowsum(jnp.where(b_mask, draw, 0.0))
 
 
 def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret, res=None):
