@@ -21,11 +21,17 @@ enable_compilation_cache()
 def main():
     from raw2logit_tpu.training.train import build_parser, run_train
 
+    # extra CLI flags are forwarded to BOTH runs — e.g.
+    #   python examples/drift_forensics.py --use_pallas --staged_step
+    # drives the whole forensics loop with the fused kernels on real TPU
+    extra = sys.argv[1:]
+
     # 1. pretrain a classifier on the default parametrized pipeline
     pre = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
            "parametrized", "--epochs", "2", "--batch_size", "8",
            "--n_splits", "1", "--lr", "1e-3",
-           "--experiment_name", "forensics", "--run_name", "pretrain"]
+           "--experiment_name", "forensics", "--run_name", "pretrain",
+           *extra]
     results = run_train(build_parser().parse_args(pre))
     clf_ckpt = os.path.join(results[0]["run"].dir, "checkpoints",
                             "classifier")
@@ -40,7 +46,7 @@ def main():
            "--track_processing_gradients",
            "--epochs", "3", "--batch_size", "8", "--n_splits", "1",
            "--lr", "1e-2", "--experiment_name", "forensics",
-           "--run_name", "adv"]
+           "--run_name", "adv", *extra]
     results = run_train(build_parser().parse_args(adv))
     run = results[0]["run"]
 

@@ -101,6 +101,18 @@ def main(argv=None):
         assert args.checkpoints_json, "--checkpoints_json required"
         with open(args.checkpoints_json) as fh:
             checkpoints = json.load(fh)
+        if "jobs" in checkpoints and "checkpoints" in checkpoints:
+            # a sweep manifest (training/sweep.py): use its flat
+            # pipeline->checkpoints map, and its per-fold state dicts for
+            # the fold-reproducible valid indices unless --state_dict
+            # overrides (every sweep run shares the k-fold seed, so any
+            # pipeline's folds carry the same index split)
+            manifest = checkpoints
+            checkpoints = manifest["checkpoints"]
+            assert checkpoints, "manifest has no completed runs"
+            if not args.state_dict and manifest.get("state_dicts"):
+                args.state_dict = ",".join(
+                    next(iter(manifest["state_dicts"].values())))
 
     ab = ABTesting(args.dataset_name, batch_size=args.batch_size,
                    severity=args.severity)
