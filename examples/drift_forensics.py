@@ -36,14 +36,21 @@ def main():
     clf_ckpt = os.path.join(results[0]["run"].dir, "checkpoints",
                             "classifier")
 
-    # 2. adversarial ISP search against the frozen classifier
+    # 2. adversarial ISP search against the frozen classifier.
+    # Stage tracking forces the staged (non-fused) ISP with the
+    # reference's numerics-altering YUV round-trip — its autodiff
+    # backward is the one program this environment's remote compiler
+    # cannot build (ROUND2_NOTES §3), so when the fused kernels are
+    # requested the tracking flags are dropped (track on the CPU mesh).
+    tracking = [] if "--use_pallas" in extra else [
+        "--adv_track_differences", "--track_processing",
+        "--track_processing_gradients"]
     adv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
            "parametrized", "--adv_training", "--freeze_classifier",
            "--classifier_uri", clf_ckpt,
            "--adv_aux_loss", "ssim", "--adv_aux_weight", "0.3",
            "--adv_noise_layer", "--adv_parameters", "all",
-           "--adv_track_differences", "--track_processing",
-           "--track_processing_gradients",
+           *tracking,
            "--epochs", "3", "--batch_size", "8", "--n_splits", "1",
            "--lr", "1e-2", "--experiment_name", "forensics",
            "--run_name", "adv", *extra]

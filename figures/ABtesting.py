@@ -40,6 +40,9 @@ def build_parser():
                         "separated list for per-fold indices (fold parity)")
     p.add_argument("--augmentation", default="weak")
     p.add_argument("--N_runs", type=int, default=5)
+    p.add_argument("--severities", type=int, nargs="+",
+                   default=[1, 2, 3, 4, 5],
+                   help="severity levels for CMakeTable")
     p.add_argument("--severity", type=int, default=1,
                    choices=(1, 2, 3, 4, 5))
     p.add_argument("--out_dir", default="results/ABtesting")
@@ -123,7 +126,8 @@ def main(argv=None):
                          network=args.network, n_runs=args.N_runs)
     elif args.mode == "CMakeTable":
         ab.c_make_table(checkpoints, valid_indices, table_path,
-                        network=args.network, n_runs=args.N_runs)
+                        network=args.network, n_runs=args.N_runs,
+                        severities=tuple(args.severities))
     elif args.mode == "ABShowImages":
         train_pip = (args.dm_train, args.s_train, args.dn_train)
         test_pip = (args.dm_test, args.s_test, args.dn_test)
