@@ -262,6 +262,7 @@ class ABTesting:
                         corruption=corr, severity=sev, network=network,
                         n_runs=n_runs)
                     table[f"{name}__{corr}__s{sev}"] = mets
+                    print(f"{name} x {corr} s{sev}: {mets}", flush=True)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(table, fh, indent=2)
