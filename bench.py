@@ -65,9 +65,10 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
         if mode == "train_staged":
             # same mathematical step split into four separately-compiled
             # programs — each fits a remote-compile budget window and is
-            # cached independently (training/core.py)
+            # cached independently (training/core.py). opt_apply donates
+            # its dead grads/params/opt-state buffers like the monolith.
             step = make_staged_train_step(cfg, processor, classifier, tx,
-                                          donate=False)
+                                          donate=True)
         else:
             step = make_train_step(cfg, processor, classifier, tx,
                                    donate=True)

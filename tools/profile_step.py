@@ -76,13 +76,23 @@ def main():
                                   donate=False)
     key = jax.random.key(1)
 
-    # materialize the intermediate tensors each program needs
-    rgb, _ = step.programs["isp_fwd"](state.proc_params, state.proc_stats,
-                                      raw)
+    # materialize the intermediate tensors each program needs; the fast
+    # Pallas staged path (training/core.py) has wider isp signatures
+    fwd_out = step.programs["isp_fwd"](state.proc_params, state.proc_stats,
+                                       raw)
+    fast = len(fwd_out) == 4
+    if fast:
+        rgb, _, pre, res = fwd_out
+    else:
+        rgb, _ = fwd_out
     clf_g, d_rgb, _, mets = step.programs["clf_grad"](
         state.clf_params, state.clf_stats, rgb, y, key)
-    proc_g = step.programs["isp_bwd"](state.proc_params, state.proc_stats,
-                                      raw, d_rgb)
+    if fast:
+        bwd_args = (state.proc_params, state.proc_stats, raw, pre, res,
+                    d_rgb)
+    else:
+        bwd_args = (state.proc_params, state.proc_stats, raw, d_rgb)
+    proc_g = step.programs["isp_bwd"](*bwd_args)
     float(mets["loss"])  # barrier
 
     progs = {
@@ -93,8 +103,7 @@ def main():
         "clf_grad": (step.programs["clf_grad"],
                      (state.clf_params, state.clf_stats, rgb, y, key),
                      lambda o: o[3]["loss"]),
-        "isp_bwd": (step.programs["isp_bwd"],
-                    (state.proc_params, state.proc_stats, raw, d_rgb),
+        "isp_bwd": (step.programs["isp_bwd"], bwd_args,
                     lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
         "opt_apply": (step.programs["opt_apply"],
                       ((proc_g, clf_g), state.opt_state,
