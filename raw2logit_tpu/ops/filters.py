@@ -153,7 +153,13 @@ def fft_denoise(img, keep_fraction=0.3, row_cut=False, column_cut=True):
     faithfully reproducing the reference quirk that scipy.fftpack.fft2
     transforms axes (-2, -1) = (W, C) of an HWC image, then zeroes
     mid-frequency *W columns* (pipeline_numpy.py:212-238)."""
-    f = jnp.fft.fft2(img)  # over axes (-2, -1), same as fftpack.fft2
+    # Two 1-D FFTs rather than one fft2: identical math (separable DFT)
+    # but a different XLA lowering — under SPMD the partitioner feeds
+    # the multi-dim XLA:CPU fft thunk a non-major layout it RET_CHECKs
+    # on (fft_thunk.cc:167), which crashed sharded full-frame
+    # fft_denoising on the CPU mesh; the 1-D decomposition compiles and
+    # matches the unsharded result exactly.
+    f = jnp.fft.fft(jnp.fft.fft(img, axis=-1), axis=-2)
     c = img.shape[-2]
     lo, hi = int(c * keep_fraction), int(c * (1 - keep_fraction))
     if row_cut:
@@ -164,4 +170,5 @@ def fft_denoise(img, keep_fraction=0.3, row_cut=False, column_cut=True):
     if column_cut:
         mask = (jnp.arange(c) < lo) | (jnp.arange(c) >= hi)
         f = f * mask[:, None]
-    return jnp.real(jnp.fft.ifft2(f)).astype(img.dtype)
+    return jnp.real(jnp.fft.ifft(jnp.fft.ifft(f, axis=-2),
+                                 axis=-1)).astype(img.dtype)
