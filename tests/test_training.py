@@ -466,3 +466,46 @@ def test_staged_fast_pallas_path_matches_monolith(monkeypatch):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_staged_fast_pallas_adversarial_matches_monolith(monkeypatch):
+    """Adversarial mode through the FAST staged path (ref-processor
+    forward reusing isp_fwd_fast, aux cotangent folded before the
+    residual bwd kernel) vs the monolith with the same kernels."""
+    import optax
+    from raw2logit_tpu.isp import ParametrizedProcessing
+    from raw2logit_tpu.training import make_staged_train_step
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    cfg = TrainConfig(task="classification", lr=1e-3, adv_training=True,
+                      loss_weight=-1.0, adv_aux_loss="ssim",
+                      adv_aux_weight=0.1, freeze_classifier=True)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=4)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32,
+        use_pallas=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+    tx = optax.sgd(1e-3)
+    state = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+    staged = make_staged_train_step(cfg, processor, classifier, tx,
+                                    donate=False)
+    key = jax.random.key(9)
+    s_mono, m_mono = mono(state, raw, y, key)
+    s_staged, m_staged = staged(state, raw, y, key)
+
+    assert float(m_staged["loss_aux"]) > 0.0
+    assert abs(float(m_mono["loss"]) - float(m_staged["loss"])) < 1e-5
+    assert abs(float(m_mono["loss_aux"])
+               - float(m_staged["loss_aux"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s_mono.proc_params),
+                    jax.tree_util.tree_leaves(s_staged.proc_params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)

@@ -39,7 +39,7 @@ def main():
     import numpy as np
     from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
     from raw2logit_tpu.isp import ParametrizedProcessing
-    from raw2logit_tpu.pallas.fused_isp import (_fused_fwd_nhwc,
+    from raw2logit_tpu.pallas.fused_isp import (_fused_fwd_planar_train,
                                                 _pack_params, fused_isp)
     from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
 
@@ -55,12 +55,17 @@ def main():
     pvars = proc.init(jax.random.key(0), raw[:1], train=False)
     params = {k: v for k, v in pvars["params"].items()}
 
-    fwd_nhwc = jax.jit(lambda r, p: fused_isp(r, p))
-    bench("fused_isp fwd (nhwc-emit)", fwd_nhwc, raw, params)
+    fwd_eval = jax.jit(lambda r, p: fused_isp(r, p))
+    bench("fused_isp fwd (eval)", fwd_eval, raw, params)
 
-    bwd = jax.jit(lambda r, p, gg: fused_isp_bwd_pallas(
-        r, p, gg, interpret=False))
-    bench("pallas bwd (nhwc-consume)", bwd, raw, params, g)
+    fwd_train = jax.jit(
+        lambda r, p: _fused_fwd_planar_train(r, _pack_params(p), False))
+    bench("fwd train (w/ residuals)", fwd_train, raw, params)
+    res = fwd_train(raw, params)[1]
+
+    bwd = jax.jit(lambda r, p, gg, rr: fused_isp_bwd_pallas(
+        r, p, gg, interpret=False, res=rr))
+    bench("pallas bwd (residual)", bwd, raw, params, g, res)
 
     # the full processor apply (pallas + batchnorm) fwd and param-vjp,
     # exactly the staged programs' content
