@@ -60,7 +60,11 @@ def main():
     metrics = run.read_metrics()
     accs = [m["val_accuracy"] for m in metrics if "val_accuracy" in m]
     print(f"accuracy under adversarial ISP drift: {accs}")
-    print(f"stage diffs + gradients in {run.dir}/results/")
+    if tracking:
+        print(f"stage diffs + gradients in {run.dir}/results/")
+    else:
+        print("(stage tracking skipped with --use_pallas; run on the "
+              "CPU mesh for per-stage diff/gradient artifacts)")
 
 
 if __name__ == "__main__":

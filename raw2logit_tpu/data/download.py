@@ -107,19 +107,48 @@ def zenodo_file_list(api_url=ZENODO_API, timeout=60):
     return files
 
 
+_MANIFEST_CACHE = ".zenodo_manifest.json"
+
+
+def _manifest_complete(local_dir):
+    """True when a cached manifest from a previous successful sync lists
+    files that are all present at the right size — lets repeat calls
+    return without a network round-trip (a blackholed offline host would
+    otherwise block on the 60 s manifest timeout every dataset init)."""
+    path = os.path.join(local_dir, _MANIFEST_CACHE)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as fh:
+            entries = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    for rel, size in entries.items():
+        dst = os.path.join(local_dir, rel)
+        if not os.path.exists(dst) or (
+                size is not None and os.path.getsize(dst) != size):
+            return False
+    return True
+
+
 def download_record_folder(folder, local_dir, api_url=ZENODO_API,
                            force_download=False):
     """Sync every record file under ``folder/`` into local_dir; files
-    already present (matching size) are skipped."""
+    already present (matching size) are skipped. A successful sync
+    writes a manifest cache so later calls can skip the network."""
+    if not force_download and _manifest_complete(local_dir):
+        return local_dir
     files = zenodo_file_list(api_url)
     prefix = folder.rstrip("/") + "/"
     os.makedirs(local_dir, exist_ok=True)
+    synced = {}
     for f in files:
         if not (f["name"].startswith(prefix) or f["name"] == folder):
             continue
         rel = f["name"][len(prefix):] if f["name"].startswith(prefix) \
             else os.path.basename(f["name"])
         dst = os.path.join(local_dir, rel)
+        synced[rel] = f["size"]
         if (not force_download and os.path.exists(dst)
                 and (f["size"] is None
                      or os.path.getsize(dst) == f["size"])):
@@ -127,6 +156,8 @@ def download_record_folder(folder, local_dir, api_url=ZENODO_API,
         print(f"fetching {f['name']} -> {dst}")
         fetch(f["url"], dst, expected_size=f["size"],
               expected_md5=f["md5"])
+    with open(os.path.join(local_dir, _MANIFEST_CACHE), "w") as fh:
+        json.dump(synced, fh)
     return local_dir
 
 
@@ -136,10 +167,12 @@ def b2_download_folder(b2_dir, local_dir, force_download=False,
     Zenodo mirror. Raises FileNotFoundError with manual instructions when
     the mirror is unreachable."""
     def _complete_content(d):
-        # .part leftovers are NOT content — treating them as such would
-        # skip the sync and strand the resume logic in fetch()
+        # .part leftovers (and the manifest cache itself) are NOT
+        # content — treating them as such would skip the sync and strand
+        # the resume logic in fetch()
         return os.path.isdir(d) and any(
-            not name.endswith(".part") for name in os.listdir(d))
+            not name.endswith(".part") and name != _MANIFEST_CACHE
+            for name in os.listdir(d))
 
     folder = mirror_folder or _B2_TO_RECORD.get(b2_dir, b2_dir)
     try:

@@ -323,10 +323,6 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                     "colour_correction", "sharpening_filter",
                     "gaussian_blur", "gamma_correct")
 
-    def _bn_stats(proc_stats):
-        return {"batch_norm": proc_stats["batch_norm"]} \
-            if "batch_norm" in proc_stats else None
-
     @jax.jit
     def isp_fwd_fast(proc_params, proc_stats, raw):
         from raw2logit_tpu.isp.batchnorm import TorchBatchNorm

@@ -168,3 +168,31 @@ def test_b2_skip_ignores_part_leftovers(server, tmp_path):
                              mirror_folder="folder")
     with open(os.path.join(out, "blob.bin"), "rb") as fh:
         assert fh.read() == PAYLOAD
+
+
+def test_manifest_cache_skips_network_when_complete(server, tmp_path):
+    """A successful sync writes a manifest cache; later calls with all
+    files intact return WITHOUT touching the network (offline hosts with
+    blackholed egress would otherwise block on the manifest timeout)."""
+    local = str(tmp_path / "folder")
+    b2_download_folder("folder", local, api_url=f"{server}/api",
+                       mirror_folder="folder")
+    # unreachable API now — must still succeed instantly from the cache
+    out = b2_download_folder("folder", local,
+                             api_url="http://127.0.0.1:9/api",
+                             mirror_folder="folder")
+    with open(os.path.join(out, "blob.bin"), "rb") as fh:
+        assert fh.read() == PAYLOAD
+
+
+def test_manifest_cache_detects_missing_file(server, tmp_path):
+    """Deleting a synced file invalidates the cache: the next call
+    consults the live manifest and re-fetches."""
+    local = str(tmp_path / "folder")
+    b2_download_folder("folder", local, api_url=f"{server}/api",
+                       mirror_folder="folder")
+    os.remove(os.path.join(local, "blob.bin"))
+    b2_download_folder("folder", local, api_url=f"{server}/api",
+                       mirror_folder="folder")
+    with open(os.path.join(local, "blob.bin"), "rb") as fh:
+        assert fh.read() == PAYLOAD

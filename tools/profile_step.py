@@ -130,6 +130,7 @@ def main():
 
     print(f"TOTAL     {total * 1e3:.2f} ms  "
           f"({batch / total:.0f} imgs/s at batch {batch})")
+    os.makedirs("results", exist_ok=True)
     with open("results/profile_step.json", "w") as fh:
         json.dump({"batch": batch, "size": size, "programs": report,
                    "total_ms": round(total * 1e3, 3)}, fh, indent=2)
