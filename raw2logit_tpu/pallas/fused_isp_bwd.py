@@ -50,21 +50,33 @@ def _split3(x):
     return hi, mid, lo
 
 
+# Interpret-mode Pallas on the TPU backend does not honor
+# preferred_element_type on bf16 dots (the sums come back bf16-
+# quantized), which would make the compiled-vs-interpret parity test
+# compare against a degraded reference. While tracing an interpret-mode
+# kernel the selector matmuls therefore use plain HIGHEST-precision f32
+# (within ~2^-26 of the split — far inside the parity tolerances).
+_EXACT_MM = False
+
+
 def _mm_sel_x(p_sel, x, terms=3):
     """0/1-selector @ data with the data split into ``terms`` DEFAULT
     (single-pass bf16) matmuls. The selector is EXACT in bf16, so each
-    pass is an exact f32-accumulated copy — 2-3 MXU passes instead of
-    HIGHEST's 6. terms=2 (~2^-17) is enough for forward-value planes in
-    [0, 1]; the cotangent path needs terms=3 (~2^-26) because its near-
-    clip-floor terms reach ~1e5 and cancel in the fold sums. The bwd
-    kernel runs ~26 selector matmuls per image; they are a third of its
-    runtime."""
+    pass is an exact f32-accumulated copy — 3 MXU passes instead of
+    HIGHEST's 6. The cotangent path needs terms=3 (~2^-26) because its
+    near-clip-floor terms reach ~1e5 and cancel in the fold sums. The
+    bwd kernel runs ~26 selector matmuls per image; they are a third of
+    its runtime."""
+    if _EXACT_MM:
+        return _mm(p_sel, x)
     ps = p_sel.astype(jnp.bfloat16)
     return sum(jnp.dot(ps, t, preferred_element_type=jnp.float32)
                for t in _split3(x)[:terms])
 
 
 def _mm_x_sel(x, p_sel, terms=3):
+    if _EXACT_MM:
+        return _mm(x, p_sel)
     ps = p_sel.astype(jnp.bfloat16)
     return sum(jnp.dot(t, ps, preferred_element_type=jnp.float32)
                for t in _split3(x)[:terms])
@@ -432,20 +444,26 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret, res=None):
         in_specs = [plane_spec, g_spec] + smem_specs
         operands = (raw, g_planar) + scalars
 
-    draw, part_b = \
-        pl.pallas_call(
-            kernel,
-            grid=(b,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-            # the unrolled recompute keeps ~90 (H, W) f32 planes live at
-            # 256^2; the 16 MB default scoped-vmem stack is too small
-            # (v5e has 128 MB VMEM)
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(*operands)
+    global _EXACT_MM
+    prev_exact = _EXACT_MM
+    _EXACT_MM = bool(interpret)  # see note above _mm_sel_x
+    try:
+        draw, part_b = \
+            pl.pallas_call(
+                kernel,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=interpret,
+                # the unrolled recompute keeps ~90 (H, W) f32 planes live
+                # at 256^2; the 16 MB default scoped-vmem stack is too
+                # small (v5e has 128 MB VMEM)
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(*operands)
+    finally:
+        _EXACT_MM = prev_exact
 
     # finish the lane-axis + batch reduction outside (tiny: B x 129 x W)
     # and chain dA -> (dwb, dccm)
