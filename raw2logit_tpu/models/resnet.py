@@ -14,90 +14,10 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 ModuleDef = Any
-
-
-@jax.custom_vjp
-def max_pool_3x3_s2(x):
-    """nn.max_pool((3,3), stride 2, pad 1) with a gather-based backward.
-
-    XLA differentiates reduce_window via select-and-scatter, which costs
-    several ms at stem shapes on TPU (measured: the single most
-    expensive non-conv op in the train step). This backward instead
-    routes each window's cotangent to the FIRST maximal tap in row-major
-    window order (torch's tie rule, and select-and-scatter's), gathered
-    per input-parity quarter and assembled with stack+reshape — no
-    scatter anywhere.
-    """
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
-
-def _mp_taps(x):
-    """Strided 3x3/s2 window taps: 9 output-sized views of padded x."""
-    b, h, w, c = x.shape
-    oh, ow = h // 2, w // 2
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
-    taps = []
-    for i in range(3):
-        for j in range(3):
-            taps.append(jax.lax.slice(
-                xp, (0, i, j, 0),
-                (b, i + 2 * (oh - 1) + 1, j + 2 * (ow - 1) + 1, c),
-                (1, 2, 2, 1)))
-    return taps
-
-
-def _mp_fwd(x):
-    taps = _mp_taps(x)
-    cur = taps[0]
-    idx = jnp.zeros(cur.shape, jnp.int8)
-    for t in range(1, 9):
-        better = taps[t] > cur  # strict: ties keep the FIRST tap
-        cur = jnp.where(better, taps[t], cur)
-        idx = jnp.where(better, jnp.int8(t), idx)
-    return cur, (idx, x.shape)
-
-
-def _mp_bwd(res, dy):
-    idx, x_shape = res
-    b, h, w, c = x_shape
-    oh, ow = h // 2, w // 2
-
-    def term(t, row_shift, col_shift):
-        """dy routed to tap t, window index shifted by (row_shift,
-        col_shift) with zero boundary (the window one step down/right)."""
-        m = jnp.where(idx == jnp.int8(t), dy, jnp.zeros_like(dy))
-        if row_shift:
-            m = jnp.pad(m[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-        if col_shift:
-            m = jnp.pad(m[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
-        return m
-
-    # input position p = (2u+a, 2v+bb) belongs to: a=0 -> window row u
-    # (tap row di=1); a=1 -> window rows u (di=2) and u+1 (di=0); same
-    # for columns. Quarter (a, bb) sums its matching (di, dj) taps.
-    def quarter(a, bb):
-        rows = [(1, 0)] if a == 0 else [(2, 0), (0, 1)]
-        cols = [(1, 0)] if bb == 0 else [(2, 0), (0, 1)]
-        q = None
-        for di, rs in rows:
-            for dj, cs in cols:
-                tm = term(di * 3 + dj, rs, cs)
-                q = tm if q is None else q + tm
-        return q
-
-    qrows = [jnp.stack([quarter(a, 0), quarter(a, 1)], axis=3)
-             for a in (0, 1)]                       # (B, oh, ow, 2, C)
-    dx6 = jnp.stack(qrows, axis=2)                  # (B, oh, 2, ow, 2, C)
-    return (dx6.reshape(b, h, w, dy.shape[-1]),)
-
-
-max_pool_3x3_s2.defvjp(_mp_fwd, _mp_bwd)
 
 
 class BasicBlock(nn.Module):
@@ -186,7 +106,7 @@ class ResNet(nn.Module):
         y = nn.relu(y)
         feats.append(y)  # 1/2
 
-        y = max_pool_3x3_s2(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         stage_sizes = (self.stage_sizes[: max(depth - 1, 0)]
                        if return_features else self.stage_sizes)
         for i, block_count in enumerate(stage_sizes):
