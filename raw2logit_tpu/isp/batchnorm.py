@@ -48,3 +48,26 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+def bn_input_cotangent(x, dy, stats, training, epsilon=1e-5):
+    """Closed-form input-cotangent of affine-free TorchBatchNorm.
+
+    jax.vjp through the module re-runs the whole forward and transposes it;
+    this is the textbook two-pass formula (one reduction pass, one
+    elementwise pass that fuses into downstream consumers). training=True
+    uses batch statistics (biased variance, like the forward's
+    normalization); training=False is the elementwise-affine eval mode
+    using ``stats`` = {"mean", "var"} running values. Matches jax.vjp to
+    float roundoff (tests/test_isp.py::test_bn_input_cotangent_matches_vjp).
+    """
+    if training:
+        axes = tuple(range(x.ndim - 1))
+        mu = jnp.mean(x, axis=axes)
+        var = jnp.mean((x - mu) ** 2, axis=axes)
+        r = jax.lax.rsqrt(var + epsilon)
+        xhat = (x - mu) * r
+        m1 = jnp.mean(dy, axis=axes)
+        m2 = jnp.mean(dy * xhat, axis=axes)
+        return r * (dy - m1 - xhat * m2)
+    return dy * jax.lax.rsqrt(stats["var"] + epsilon)

@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import flax.struct
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -76,27 +77,69 @@ def _param_labels(params, cfg: TrainConfig, which: str):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def make_optimizer(cfg: TrainConfig, proc_params, clf_params):
+def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
+                   flat: bool = True):
     """Single Adam over (processor, classifier) with freeze masks
     (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd)).
 
     torch Adam's weight_decay is COUPLED L2 (wd*param added to the
     gradient before the moment updates) — optax.add_decayed_weights in
-    front of adam, not adamw's decoupled decay."""
-    if cfg.weight_decay:
-        train_tx = optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.adam(cfg.lr))
+    front of adam, not adamw's decoupled decay.
+
+    flat=True (default) runs the mathematically identical update over ONE
+    raveled parameter vector: per-tensor optimizers lower to ~a fusion
+    per leaf, and at ResNet-18 scale the launch overheads dominate the
+    stream time (measured 3.5 ms vs a 1.0 ms HBM roofline per step at
+    batch 256). Adam is elementwise, so flat-vs-per-leaf is bitwise
+    identical (frozen leaves see a zeroed gradient; zero moments give
+    exactly zero updates). flat=False keeps the per-leaf optax chain
+    (equivalence tests compare the two)."""
+    labels = (
+        _param_labels(proc_params, cfg, "proc"),
+        _param_labels(clf_params, cfg, "clf"),
+    )
+    if not flat:
+        if cfg.weight_decay:
+            train_tx = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.adam(cfg.lr))
+        else:
+            train_tx = optax.adam(cfg.lr)
+        return optax.multi_transform(
+            {"train": train_tx, "freeze": optax.set_to_zero()},
+            param_labels=labels)
+
+    params0 = (proc_params, clf_params)
+    _, unravel = jax.flatten_util.ravel_pytree(params0)
+    any_frozen = any(
+        lbl == "freeze"
+        for lbl in jax.tree_util.tree_leaves(labels, is_leaf=lambda x:
+                                             isinstance(x, str)))
+    if any_frozen:
+        mask_tree = jax.tree_util.tree_map(
+            lambda lbl, p: jnp.full(jnp.shape(p), lbl == "train",
+                                    jnp.result_type(p)),
+            labels, params0)
+        mask_flat = jax.flatten_util.ravel_pytree(mask_tree)[0]
     else:
-        train_tx = optax.adam(cfg.lr)
-    tx = optax.multi_transform(
-        {"train": train_tx,
-         "freeze": optax.set_to_zero()},
-        param_labels=(
-            _param_labels(proc_params, cfg, "proc"),
-            _param_labels(clf_params, cfg, "clf"),
-        ))
-    return tx
+        mask_flat = None
+    inner = optax.adam(cfg.lr)
+
+    def init(params):
+        flat = jax.flatten_util.ravel_pytree(params)[0]
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        g = jax.flatten_util.ravel_pytree(grads)[0]
+        if cfg.weight_decay:
+            g = g + cfg.weight_decay * jax.flatten_util.ravel_pytree(
+                params)[0]
+        if mask_flat is not None:
+            g = g * mask_flat
+        u, new_state = inner.update(g, state)
+        return unravel(u), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def task_loss_fn(cfg: TrainConfig) -> Callable:
@@ -351,24 +394,18 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
 
     @jax.jit
     def isp_bwd_fast(proc_params, proc_stats, raw, pre, res, d_rgb):
-        from raw2logit_tpu.isp.batchnorm import TorchBatchNorm
         from raw2logit_tpu.pallas.fused_isp import _is_tpu
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         d_pre = d_rgb
         if "batch_norm" in proc_stats:
-            bn = TorchBatchNorm()
-            bn_vars = {"batch_stats": proc_stats["batch_norm"]}
-
-            def through_bn(x):
-                if update_proc_bn:
-                    # train mode mutates running stats; only the output
-                    # (and its batch-stat gradient path) matters here
-                    return bn.apply(bn_vars, x, use_running_average=False,
-                                    mutable=["batch_stats"])[0]
-                return bn.apply(bn_vars, x, use_running_average=True)
-
-            _, bn_vjp = jax.vjp(through_bn, pre)
-            d_pre, = bn_vjp(d_rgb)
+            # closed-form BN input-cotangent: the jax.vjp route re-ran the
+            # whole BN forward and transposed it (~2.6 ms/step at batch
+            # 256); this is one reduction pass + one elementwise pass that
+            # fuses into the kernel-input transpose
+            from raw2logit_tpu.isp.batchnorm import bn_input_cotangent
+            d_pre = bn_input_cotangent(pre, d_rgb,
+                                       proc_stats["batch_norm"],
+                                       training=update_proc_bn)
         kp = {k: proc_params[k] for k in _KERNEL_KEYS}
         _, dkp = fused_isp_bwd_pallas(raw, kp, d_pre,
                                       interpret=not _is_tpu(), res=res)

@@ -187,3 +187,31 @@ def test_nn_processing_shapes(raw_batch):
                          raw.shape[2] // 2, 3)
     assert list(stages) == ["demosaic", "rgb"]
     assert np.all(np.isfinite(np.asarray(rgb)))
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_bn_input_cotangent_matches_vjp(training):
+    """Closed-form BN backward (used by the fast staged step) must match
+    jax.vjp through TorchBatchNorm to float roundoff."""
+    from raw2logit_tpu.isp.batchnorm import TorchBatchNorm, bn_input_cotangent
+
+    k1, k2 = jax.random.split(jax.random.key(3))
+    x = jax.random.normal(k1, (8, 16, 16, 3), jnp.float32) * 2.0 + 0.5
+    dy = jax.random.normal(k2, x.shape, jnp.float32)
+    stats = {"mean": jnp.array([0.1, -0.2, 0.3]),
+             "var": jnp.array([1.5, 0.7, 2.2])}
+    bn = TorchBatchNorm()
+
+    def through_bn(x):
+        if training:
+            return bn.apply({"batch_stats": stats}, x,
+                            use_running_average=False,
+                            mutable=["batch_stats"])[0]
+        return bn.apply({"batch_stats": stats}, x,
+                        use_running_average=True)
+
+    _, vjp = jax.vjp(through_bn, x)
+    want, = vjp(dy)
+    got = bn_input_cotangent(x, dy, stats, training=training)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)

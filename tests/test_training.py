@@ -509,3 +509,45 @@ def test_staged_fast_pallas_adversarial_matches_monolith(monkeypatch):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("cfg", [
+    TrainConfig(lr=1e-3),
+    TrainConfig(lr=1e-3, weight_decay=1e-2),
+    TrainConfig(lr=1e-2, freeze_classifier=True),
+    TrainConfig(lr=1e-2, adv_training=True, loss_weight=-1.0,
+                adv_parameters="gamma_correct", freeze_classifier=True),
+], ids=["plain", "wd", "freeze", "adv-targeted"])
+def test_flat_optimizer_bitwise_matches_per_leaf(cfg):
+    """The raveled-vector Adam (default) must reproduce the per-leaf
+    optax chain EXACTLY — Adam is elementwise, so flat-vs-per-tensor is
+    the same arithmetic; any drift means a masking/decay bug."""
+    import optax
+
+    params = (
+        {"gamma_correct": jnp.array([0.35], jnp.float32),
+         "black_level": jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32),
+         "colour_correction": jnp.eye(3, dtype=jnp.float32)},
+        {"conv": {"kernel": jnp.arange(12, dtype=jnp.float32)
+                  .reshape(2, 2, 3) / 7.0},
+         "bn": {"scale": jnp.ones((3,)), "bias": jnp.zeros((3,))}},
+    )
+    tx_flat = make_optimizer(cfg, *params, flat=True)
+    tx_leaf = make_optimizer(cfg, *params, flat=False)
+    s_flat = jax.jit(tx_flat.init)(params)
+    s_leaf = jax.jit(tx_leaf.init)(params)
+    p_flat = p_leaf = params
+    for i in range(4):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        ks = jax.random.split(jax.random.fold_in(jax.random.key(7), i),
+                              len(leaves))
+        grads = jax.tree_util.tree_unflatten(
+            treedef, [jax.random.normal(k, l.shape, l.dtype)
+                      for k, l in zip(ks, leaves)])
+        u_f, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        u_l, s_leaf = tx_leaf.update(grads, s_leaf, p_leaf)
+        p_flat = optax.apply_updates(p_flat, u_f)
+        p_leaf = optax.apply_updates(p_leaf, u_l)
+        for a, b in zip(jax.tree_util.tree_leaves(p_flat),
+                        jax.tree_util.tree_leaves(p_leaf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
