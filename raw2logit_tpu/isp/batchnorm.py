@@ -50,7 +50,15 @@ class TorchBatchNorm(nn.Module):
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
 
 
-def bn_input_cotangent(x, dy, stats, training, epsilon=1e-5):
+def _bcast(v, ndim, axis):
+    """Reshape per-channel (C,) stats for broadcast against an
+    arbitrary channel axis."""
+    shape = [1] * ndim
+    shape[axis] = -1
+    return jnp.reshape(v, shape)
+
+
+def bn_input_cotangent(x, dy, stats, training, epsilon=1e-5, axis=-1):
     """Closed-form input-cotangent of affine-free TorchBatchNorm.
 
     jax.vjp through the module re-runs the whole forward and transposes it;
@@ -58,16 +66,48 @@ def bn_input_cotangent(x, dy, stats, training, epsilon=1e-5):
     elementwise pass that fuses into downstream consumers). training=True
     uses batch statistics (biased variance, like the forward's
     normalization); training=False is the elementwise-affine eval mode
-    using ``stats`` = {"mean", "var"} running values. Matches jax.vjp to
-    float roundoff (tests/test_isp.py::test_bn_input_cotangent_matches_vjp).
+    using ``stats`` = {"mean", "var"} running values. ``axis`` is the
+    channel axis (the fast staged path runs BN on the fused kernel's
+    planar (B, C, H, W) layout, axis=1). Matches jax.vjp to float
+    roundoff (tests/test_isp.py::test_bn_input_cotangent_matches_vjp).
     """
+    axis = axis % x.ndim
     if training:
-        axes = tuple(range(x.ndim - 1))
-        mu = jnp.mean(x, axis=axes)
-        var = jnp.mean((x - mu) ** 2, axis=axes)
+        axes = tuple(a for a in range(x.ndim) if a != axis)
+        mu = _bcast(jnp.mean(x, axis=axes), x.ndim, axis)
+        var = _bcast(jnp.mean((x - mu) ** 2, axis=axes), x.ndim, axis)
         r = jax.lax.rsqrt(var + epsilon)
         xhat = (x - mu) * r
-        m1 = jnp.mean(dy, axis=axes)
-        m2 = jnp.mean(dy * xhat, axis=axes)
+        m1 = _bcast(jnp.mean(dy, axis=axes), x.ndim, axis)
+        m2 = _bcast(jnp.mean(dy * xhat, axis=axes), x.ndim, axis)
         return r * (dy - m1 - xhat * m2)
-    return dy * jax.lax.rsqrt(stats["var"] + epsilon)
+    return dy * _bcast(jax.lax.rsqrt(stats["var"] + epsilon), x.ndim, axis)
+
+
+def torch_bn_forward(x, stats, training, momentum=0.1, epsilon=1e-5,
+                     axis=-1):
+    """Functional affine-free TorchBatchNorm with an arbitrary channel
+    axis: returns (y, new_stats). Same arithmetic as the module
+    (normalize with the BIASED batch variance, update running_var with
+    the UNBIASED one, torch momentum convention); the fast staged path
+    uses it on planar (B, C, H, W) tensors where the flax module's
+    channel-last contract would force a layout change."""
+    axis = axis % x.ndim
+    if not training:
+        mean = _bcast(stats["mean"], x.ndim, axis)
+        var = _bcast(stats["var"], x.ndim, axis)
+        return (x - mean) * jax.lax.rsqrt(var + epsilon), stats
+    axes = tuple(a for a in range(x.ndim) if a != axis)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    mean = jnp.mean(x, axis=axes)
+    mu = _bcast(mean, x.ndim, axis)
+    var = jnp.mean((x - mu) ** 2, axis=axes)
+    unbiased = var * (n / max(n - 1, 1))
+    new_stats = dict(
+        stats,
+        mean=(1 - momentum) * stats["mean"] + momentum * mean,
+        var=(1 - momentum) * stats["var"] + momentum * unbiased)
+    y = (x - mu) * jax.lax.rsqrt(_bcast(var, x.ndim, axis) + epsilon)
+    return y, new_stats

@@ -400,9 +400,14 @@ def _adjoint(g_ref, kdeb_ref, a_ref, minv_ref, ksharp_ref, kblur_ref,
         -_rowsum(jnp.where(b_mask, draw, 0.0))
 
 
-def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret, res=None):
-    """raw (B,H,W), params dict, cotangent (B,H,W,3) -> (draw, param grads).
+def fused_isp_bwd_pallas(raw, params, g, interpret, res=None,
+                         planar=False):
+    """raw (B,H,W), params dict, cotangent -> (draw, param grads).
 
+    ``g`` is the rgb cotangent: (B,H,W,3) by default, or already in the
+    kernel's planar (B,3,H,W) layout when ``planar=True`` (the fast
+    staged path keeps the program boundary planar — a transpose here
+    would materialize, it cannot fuse into the pallas call).
     ``res`` (B, 5, H, W): residual planes from the training forward
     (deb0..2, s, t) — when given, the kernel skips the forward recompute.
     Returns grads in the same tree structure as ``params``."""
@@ -410,7 +415,10 @@ def fused_isp_bwd_pallas(raw, params, g_nhwc, interpret, res=None):
 
     b, h, w = raw.shape
     bl, kdeb2, a, minv, ksharp, kblur, gamma = _pack_params(params)
-    g_planar = jnp.transpose(g_nhwc, (0, 3, 1, 2)).astype(jnp.float32)
+    if planar:
+        g_planar = g.astype(jnp.float32)
+    else:
+        g_planar = jnp.transpose(g, (0, 3, 1, 2)).astype(jnp.float32)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)

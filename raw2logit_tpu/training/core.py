@@ -366,30 +366,34 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                     "colour_correction", "sharpening_filter",
                     "gaussian_blur", "gamma_correct")
 
+    fast = _pallas_fast()
+
+    # The fast path keeps the PLANAR (B, 3, H, W) kernel layout across
+    # the program boundaries: transposes trapped between two separately-
+    # jitted programs materialize (they cannot fuse across the boundary),
+    # whereas inside clf_grad the planar->NHWC transpose fuses into the
+    # first conv for free. additive/BN run directly on planar.
+
     @jax.jit
     def isp_fwd_fast(proc_params, proc_stats, raw):
-        from raw2logit_tpu.isp.batchnorm import TorchBatchNorm
+        from raw2logit_tpu.isp.batchnorm import torch_bn_forward
         from raw2logit_tpu.pallas.fused_isp import (_fused_fwd_planar_train,
                                                     _is_tpu, _pack_params)
         kp = {k: proc_params[k] for k in _KERNEL_KEYS}
         planar, res = _fused_fwd_planar_train(raw, _pack_params(kp),
                                               interpret=not _is_tpu())
-        pre = jnp.transpose(planar, (0, 2, 3, 1))
+        pre = planar
         if "additive_layer" in proc_params:
-            pre = pre + proc_params["additive_layer"]
+            pre = pre + jnp.transpose(proc_params["additive_layer"],
+                                      (0, 3, 1, 2))
         new_stats = proc_stats
         rgb = pre
         if "batch_norm" in proc_stats:
-            bn = TorchBatchNorm()
+            rgb, bn_stats = torch_bn_forward(
+                pre, proc_stats["batch_norm"], training=update_proc_bn,
+                axis=1)
             if update_proc_bn:
-                rgb, mut = bn.apply(
-                    {"batch_stats": proc_stats["batch_norm"]}, pre,
-                    use_running_average=False, mutable=["batch_stats"])
-                new_stats = dict(proc_stats,
-                                 batch_norm=mut["batch_stats"])
-            else:
-                rgb = bn.apply({"batch_stats": proc_stats["batch_norm"]},
-                               pre, use_running_average=True)
+                new_stats = dict(proc_stats, batch_norm=bn_stats)
         return rgb, new_stats, pre, res
 
     @jax.jit
@@ -400,24 +404,30 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         if "batch_norm" in proc_stats:
             # closed-form BN input-cotangent: the jax.vjp route re-ran the
             # whole BN forward and transposed it (~2.6 ms/step at batch
-            # 256); this is one reduction pass + one elementwise pass that
-            # fuses into the kernel-input transpose
+            # 256); this is one reduction pass + one elementwise pass,
+            # all in the kernel's planar layout
             from raw2logit_tpu.isp.batchnorm import bn_input_cotangent
             d_pre = bn_input_cotangent(pre, d_rgb,
                                        proc_stats["batch_norm"],
-                                       training=update_proc_bn)
+                                       training=update_proc_bn, axis=1)
         kp = {k: proc_params[k] for k in _KERNEL_KEYS}
         _, dkp = fused_isp_bwd_pallas(raw, kp, d_pre,
-                                      interpret=not _is_tpu(), res=res)
+                                      interpret=not _is_tpu(), res=res,
+                                      planar=True)
         grads = dict(dkp)
         if "additive_layer" in proc_params:
-            grads["additive_layer"] = jnp.sum(d_pre, axis=0, keepdims=True)
+            grads["additive_layer"] = jnp.transpose(
+                jnp.sum(d_pre, axis=0, keepdims=True), (0, 2, 3, 1))
         return {k: grads[k] for k in proc_params}
 
     @jax.jit
     def clf_grad(clf_params, clf_stats, rgb, y, key):
         def loss_fn(clf_params, rgb):
             x = rgb
+            if fast:
+                # planar program boundary; this transpose (and its
+                # cotangent twin) fuses into the model's first conv
+                x = jnp.transpose(x, (0, 2, 3, 1))
             if aug is not None:
                 x = aug(key, x, is_mask=False)
             y_t = y
@@ -450,8 +460,15 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         """Adversarial regularizer value + rgb cotangent, fused with the
         cotangent accumulation and the loss total (one tiny program; an
         eager add would pay its own remote compile)."""
-        loss_aux, g = jax.value_and_grad(
-            lambda r: aux_fn(ref_rgb, r))(rgb)
+        def f(r):
+            if fast:
+                # planar boundary: the aux losses (SSIM windows) are
+                # defined on channel-last images
+                return aux_fn(jnp.transpose(ref_rgb, (0, 2, 3, 1)),
+                              jnp.transpose(r, (0, 2, 3, 1)))
+            return aux_fn(ref_rgb, r)
+
+        loss_aux, g = jax.value_and_grad(f)(rgb)
         return loss_aux, task_loss + loss_aux, d_rgb + g
 
     @jax.jit
@@ -470,8 +487,6 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     # dispatch order), so donating matches make_train_step's memory story
     opt_apply = jax.jit(_opt_apply,
                         donate_argnums=(0, 1, 2) if donate else ())
-
-    fast = _pallas_fast()
 
     def step(state: TrainState, raw, y, key):
         if fast:
@@ -526,7 +541,12 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     def cost_entries(state, raw, y, key):
         """(program, example_args) pairs covering the step's compute —
         for XLA cost-analysis summation without re-deriving signatures."""
-        rgb0 = jnp.zeros(raw.shape + (3,), jnp.float32)
+        if fast:
+            # planar program boundary
+            rgb0 = jnp.zeros((raw.shape[0], 3) + raw.shape[1:],
+                             jnp.float32)
+        else:
+            rgb0 = jnp.zeros(raw.shape + (3,), jnp.float32)
         ents = [(clf_grad, (state.clf_params, state.clf_stats, rgb0, y,
                             key))]
         if fast:
