@@ -78,7 +78,7 @@ def _param_labels(params, cfg: TrainConfig, which: str):
 
 
 def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
-                   flat: bool = True):
+                   flat: bool = False):
     """Single Adam over (processor, classifier) with freeze masks
     (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd)).
 
@@ -86,14 +86,16 @@ def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
     gradient before the moment updates) — optax.add_decayed_weights in
     front of adam, not adamw's decoupled decay.
 
-    flat=True (default) runs the mathematically identical update over ONE
-    raveled parameter vector: per-tensor optimizers lower to ~a fusion
-    per leaf, and at ResNet-18 scale the launch overheads dominate the
-    stream time (measured 3.5 ms vs a 1.0 ms HBM roofline per step at
-    batch 256). Adam is elementwise, so flat-vs-per-leaf is bitwise
-    identical (frozen leaves see a zeroed gradient; zero moments give
-    exactly zero updates). flat=False keeps the per-leaf optax chain
-    (equivalence tests compare the two)."""
+    flat=True runs the mathematically identical update over ONE raveled
+    parameter vector (Adam is elementwise, so flat-vs-per-leaf is
+    bitwise identical; frozen leaves see a zeroed gradient and zero
+    moments give exactly zero updates). It was built on the theory that
+    per-leaf launch overheads dominate (3.5 ms measured vs a 1.0 ms HBM
+    roofline at ResNet-18 scale), but MEASURED SLOWER on the chip:
+    7.0 ms vs 3.4 ms per apply (tools/opt_micro.py, batch-independent)
+    — the grads/params ravel and update unravel are ~100 small HBM
+    copies each that cost more than the per-leaf fusions they replace.
+    Kept for the equivalence test; per-leaf is the default."""
     labels = (
         _param_labels(proc_params, cfg, "proc"),
         _param_labels(clf_params, cfg, "clf"),
