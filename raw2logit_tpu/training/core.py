@@ -375,6 +375,16 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     # jitted programs materialize (they cannot fuse across the boundary),
     # whereas inside clf_grad the planar->NHWC transpose fuses into the
     # first conv for free. additive/BN run directly on planar.
+    #
+    # When the processor BN is in TRAIN mode (non-adv, non-frozen), the
+    # BN forward moves INTO the classifier program too (clf_grad_bn):
+    # its normalize-apply fuses with the boundary transpose + first
+    # conv, its backward comes free from the program's autodiff — the
+    # standalone BN passes in isp_fwd and the closed-form cotangent
+    # passes in isp_bwd (HBM passes over the full activation either
+    # way) both disappear, and the program boundary carries one planar
+    # tensor (pre) in each direction.
+    bn_in_clf = fast and update_proc_bn
 
     @jax.jit
     def isp_fwd_fast(proc_params, proc_stats, raw):
@@ -390,7 +400,7 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                                       (0, 3, 1, 2))
         new_stats = proc_stats
         rgb = pre
-        if "batch_norm" in proc_stats:
+        if "batch_norm" in proc_stats and not bn_in_clf:
             rgb, bn_stats = torch_bn_forward(
                 pre, proc_stats["batch_norm"], training=update_proc_bn,
                 axis=1)
@@ -403,11 +413,12 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         from raw2logit_tpu.pallas.fused_isp import _is_tpu
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         d_pre = d_rgb
-        if "batch_norm" in proc_stats:
+        if "batch_norm" in proc_stats and not bn_in_clf:
             # closed-form BN input-cotangent: the jax.vjp route re-ran the
-            # whole BN forward and transposed it (~2.6 ms/step at batch
-            # 256); this is one reduction pass + one elementwise pass,
-            # all in the kernel's planar layout
+            # whole BN forward and transposed it; this is one reduction
+            # pass + one elementwise pass, all in the kernel's planar
+            # layout. With bn_in_clf the incoming cotangent is already
+            # d(pre) — BN's backward ran inside clf_grad_bn's autodiff.
             from raw2logit_tpu.isp.batchnorm import bn_input_cotangent
             d_pre = bn_input_cotangent(pre, d_rgb,
                                        proc_stats["batch_norm"],
@@ -458,6 +469,46 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         return grads[0], grads[1], new_cs, mets
 
     @jax.jit
+    def clf_grad_bn(clf_params, clf_stats, pre, bn_stats, y, key):
+        """clf_grad with the processor's train-mode BN folded in (see
+        bn_in_clf above): consumes the planar pre-BN tensor, returns its
+        cotangent plus the updated BN running stats."""
+        from raw2logit_tpu.isp.batchnorm import torch_bn_forward
+
+        def loss_fn(clf_params, pre):
+            rgb, new_bn = torch_bn_forward(pre, bn_stats, training=True,
+                                           axis=1)
+            # planar program boundary; this transpose (and its cotangent
+            # twin) fuses into the model's first conv
+            x = jnp.transpose(rgb, (0, 2, 3, 1))
+            if aug is not None:
+                x = aug(key, x, is_mask=False)
+            y_t = y
+            if cfg.task == "segmentation" and aug is not None:
+                y_t = aug(key, y_t, is_mask=True)
+            cvars = {"params": clf_params}
+            if clf_stats:
+                cvars["batch_stats"] = clf_stats
+            if update_clf_bn and clf_stats:
+                logits, mut = classifier.apply(cvars, x, train=True,
+                                               mutable=["batch_stats"])
+                new_cs = mut["batch_stats"]
+            else:
+                logits = classifier.apply(cvars, x, train=update_clf_bn)
+                new_cs = clf_stats
+            if cfg.task == "segmentation" and logits.shape[-1] == 1:
+                logits = logits[..., 0]
+            loss = loss_fn_task(logits, y_t)
+            mets = _step_metrics(cfg, logits, y_t)
+            mets["loss"] = loss
+            mets["loss_aux"] = jnp.zeros(())
+            return loss, (new_bn, new_cs, mets)
+
+        grads, (new_bn, new_cs, mets) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(clf_params, pre)
+        return grads[0], grads[1], new_bn, new_cs, mets
+
+    @jax.jit
     def aux_grad(ref_rgb, rgb, d_rgb, task_loss):
         """Adversarial regularizer value + rgb cotangent, fused with the
         cotangent accumulation and the loss total (one tiny program; an
@@ -496,8 +547,14 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                 state.proc_params, state.proc_stats, raw)
         else:
             rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
-        clf_g, d_rgb, new_cs, mets = clf_grad(
-            state.clf_params, state.clf_stats, rgb, y, key)
+        if bn_in_clf and "batch_norm" in state.proc_stats:
+            clf_g, d_rgb, new_bn, new_cs, mets = clf_grad_bn(
+                state.clf_params, state.clf_stats, pre,
+                state.proc_stats["batch_norm"], y, key)
+            new_ps = dict(new_ps, batch_norm=new_bn)
+        else:
+            clf_g, d_rgb, new_cs, mets = clf_grad(
+                state.clf_params, state.clf_stats, rgb, y, key)
         if aux_fn is not None:
             # frozen default pipeline forward — same compiled program as
             # the main forward, applied to the reference params
@@ -534,6 +591,9 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     if fast:
         step.programs = {"isp_fwd": isp_fwd_fast, "clf_grad": clf_grad,
                          "isp_bwd": isp_bwd_fast, "opt_apply": opt_apply}
+        if bn_in_clf:
+            # the variant step() uses when the state carries BN stats
+            step.programs["clf_grad_bn"] = clf_grad_bn
     else:
         step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
                          "isp_bwd": isp_bwd, "opt_apply": opt_apply}
@@ -549,8 +609,13 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                              jnp.float32)
         else:
             rgb0 = jnp.zeros(raw.shape + (3,), jnp.float32)
-        ents = [(clf_grad, (state.clf_params, state.clf_stats, rgb0, y,
-                            key))]
+        if bn_in_clf and "batch_norm" in state.proc_stats:
+            ents = [(clf_grad_bn,
+                     (state.clf_params, state.clf_stats, rgb0,
+                      state.proc_stats["batch_norm"], y, key))]
+        else:
+            ents = [(clf_grad, (state.clf_params, state.clf_stats, rgb0,
+                                y, key))]
         if fast:
             ents.append((isp_fwd_fast,
                          (state.proc_params, state.proc_stats, raw)))

@@ -85,8 +85,17 @@ def main():
         rgb, _, pre, res = fwd_out
     else:
         rgb, _ = fwd_out
-    clf_g, d_rgb, _, mets = step.programs["clf_grad"](
-        state.clf_params, state.clf_stats, rgb, y, key)
+    bn_in_clf = ("clf_grad_bn" in step.programs
+                 and "batch_norm" in state.proc_stats)
+    if bn_in_clf:
+        clf_prog = step.programs["clf_grad_bn"]
+        clf_args = (state.clf_params, state.clf_stats, pre,
+                    state.proc_stats["batch_norm"], y, key)
+        clf_g, d_rgb, _, _, mets = clf_prog(*clf_args)
+    else:
+        clf_prog = step.programs["clf_grad"]
+        clf_args = (state.clf_params, state.clf_stats, rgb, y, key)
+        clf_g, d_rgb, _, mets = clf_prog(*clf_args)
     if fast:
         bwd_args = (state.proc_params, state.proc_stats, raw, pre, res,
                     d_rgb)
@@ -100,9 +109,8 @@ def main():
                     (state.proc_params, state.proc_stats, raw),
                     lambda o: o[0][0, 0, 0, 0] if o[0].ndim == 4
                     else o[0][0, 0, 0]),
-        "clf_grad": (step.programs["clf_grad"],
-                     (state.clf_params, state.clf_stats, rgb, y, key),
-                     lambda o: o[3]["loss"]),
+        "clf_grad": (clf_prog, clf_args,
+                     lambda o: o[-1]["loss"]),
         "isp_bwd": (step.programs["isp_bwd"], bwd_args,
                     lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
         "opt_apply": (step.programs["opt_apply"],
