@@ -399,8 +399,13 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             pre = pre + jnp.transpose(proc_params["additive_layer"],
                                       (0, 3, 1, 2))
         new_stats = proc_stats
+        if "batch_norm" in proc_stats and bn_in_clf:
+            # BN runs inside clf_grad_bn; returning pre under both the
+            # rgb and pre slots would make XLA materialize a duplicate-
+            # output copy (a full extra activation write) — 3-tuple.
+            return pre, new_stats, res
         rgb = pre
-        if "batch_norm" in proc_stats and not bn_in_clf:
+        if "batch_norm" in proc_stats:
             rgb, bn_stats = torch_bn_forward(
                 pre, proc_stats["batch_norm"], training=update_proc_bn,
                 axis=1)
@@ -542,12 +547,17 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                         donate_argnums=(0, 1, 2) if donate else ())
 
     def step(state: TrainState, raw, y, key):
-        if fast:
+        use_bn_prog = bn_in_clf and "batch_norm" in state.proc_stats
+        if use_bn_prog:
+            pre, new_ps, res = isp_fwd_fast(
+                state.proc_params, state.proc_stats, raw)
+            rgb = pre
+        elif fast:
             rgb, new_ps, pre, res = isp_fwd_fast(
                 state.proc_params, state.proc_stats, raw)
         else:
             rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
-        if bn_in_clf and "batch_norm" in state.proc_stats:
+        if use_bn_prog:
             clf_g, d_rgb, new_bn, new_cs, mets = clf_grad_bn(
                 state.clf_params, state.clf_stats, pre,
                 state.proc_stats["batch_norm"], y, key)

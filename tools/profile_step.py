@@ -80,8 +80,11 @@ def main():
     # Pallas staged path (training/core.py) has wider isp signatures
     fwd_out = step.programs["isp_fwd"](state.proc_params, state.proc_stats,
                                        raw)
-    fast = len(fwd_out) == 4
-    if fast:
+    fast = len(fwd_out) >= 3
+    if len(fwd_out) == 3:       # bn_in_clf planar boundary: (pre, stats, res)
+        rgb, _, res = fwd_out
+        pre = rgb
+    elif fast:
         rgb, _, pre, res = fwd_out
     else:
         rgb, _ = fwd_out
