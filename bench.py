@@ -58,8 +58,12 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
                       jnp.float32)
     y = jnp.asarray(rng.integers(0, n_classes, size=(batch,)), jnp.int32)
 
+    # fuse_opt: fold the per-module Adam applies into the two gradient
+    # programs (training/core.py) — no standalone opt_apply dispatch
+    fuse_opt = (mode == "train_staged"
+                and os.environ.get("BENCH_FUSE_OPT", "0") == "1")
     state, tx = create_train_state(cfg, processor, classifier, raw,
-                                   jax.random.key(0))
+                                   jax.random.key(0), split_opt=fuse_opt)
 
     if mode in ("train", "train_staged"):
         if mode == "train_staged":
@@ -68,7 +72,7 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
             # cached independently (training/core.py). opt_apply donates
             # its dead grads/params/opt-state buffers like the monolith.
             step = make_staged_train_step(cfg, processor, classifier, tx,
-                                          donate=True)
+                                          donate=True, fuse_opt=fuse_opt)
         else:
             step = make_train_step(cfg, processor, classifier, tx,
                                    donate=True)

@@ -78,7 +78,7 @@ def _param_labels(params, cfg: TrainConfig, which: str):
 
 
 def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
-                   flat: bool = False):
+                   flat: bool = False, split: bool = False):
     """Single Adam over (processor, classifier) with freeze masks
     (model.py:144-146: torch.optim.Adam(self.parameters(), lr, wd)).
 
@@ -95,7 +95,32 @@ def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
     7.0 ms vs 3.4 ms per apply (tools/opt_micro.py, batch-independent)
     — the grads/params ravel and update unravel are ~100 small HBM
     copies each that cost more than the per-leaf fusions they replace.
-    Kept for the equivalence test; per-leaf is the default."""
+    Kept for the equivalence test; per-leaf is the default.
+
+    split=True returns a (tx_proc, tx_clf) PAIR of independent
+    transformations, one per module. Adam (with coupled L2 and freeze
+    masks) is per-leaf: the update of any leaf depends only on that
+    leaf's gradient/param/moments, so the pair is exactly the joint
+    optimizer restricted to each side (same trajectories, leaf for
+    leaf). The split form is what lets the staged train step fold the
+    optimizer apply INTO the two gradient programs (fuse_opt): the clf
+    half updates inside clf_grad, the ISP half inside isp_bwd, and the
+    standalone opt_apply program (measured 3.4-5.5 ms/step at ResNet-18
+    scale vs a 1.0 ms HBM roofline — per-program launch overhead plus a
+    grads round-trip through HBM) disappears."""
+    if split:
+        def _side(params, which):
+            if cfg.weight_decay:
+                train_tx = optax.chain(
+                    optax.add_decayed_weights(cfg.weight_decay),
+                    optax.adam(cfg.lr))
+            else:
+                train_tx = optax.adam(cfg.lr)
+            return optax.multi_transform(
+                {"train": train_tx, "freeze": optax.set_to_zero()},
+                param_labels=_param_labels(params, cfg, which))
+        return _side(proc_params, "proc"), _side(clf_params, "clf")
+
     labels = (
         _param_labels(proc_params, cfg, "proc"),
         _param_labels(clf_params, cfg, "clf"),
@@ -151,7 +176,8 @@ def task_loss_fn(cfg: TrainConfig) -> Callable:
 
 
 def create_train_state(cfg, processor, classifier, sample_raw, rng,
-                       processor_variables=None, classifier_variables=None):
+                       processor_variables=None, classifier_variables=None,
+                       split_opt=False):
     """Initialize params/batch-stats for both modules and the optimizer.
 
     The whole initialization is ONE jitted program: under remote-compile
@@ -181,8 +207,15 @@ def create_train_state(cfg, processor, classifier, sample_raw, rng,
     clf_params = classifier_variables.get("params", {})
     clf_stats = classifier_variables.get("batch_stats", {})
 
-    tx = make_optimizer(cfg, proc_params, clf_params)
-    opt_state = jax.jit(tx.init)((proc_params, clf_params))
+    if split_opt:
+        # per-module optimizer pair for the fuse_opt staged step; the
+        # opt_state is the matching (proc_side, clf_side) 2-tuple
+        tx = make_optimizer(cfg, proc_params, clf_params, split=True)
+        opt_state = (jax.jit(tx[0].init)(proc_params),
+                     jax.jit(tx[1].init)(clf_params))
+    else:
+        tx = make_optimizer(cfg, proc_params, clf_params)
+        opt_state = jax.jit(tx.init)((proc_params, clf_params))
 
     ref_params = ref_stats = None
     if cfg.adv_training:
@@ -312,7 +345,7 @@ def make_train_step(cfg: TrainConfig, processor, classifier, tx,
 
 
 def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
-                           donate: bool = True):
+                           donate: bool = True, fuse_opt: bool = False):
     """Compile-budget-constrained variant of make_train_step.
 
     The identical mathematical update (chain rule through ISP -> aug ->
@@ -329,7 +362,24 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     is frozen in adv mode either way, model.py:136-142), and aux_grad
     computes the SSIM/l2 regularizer value plus its rgb cotangent, folded
     into the task cotangent before isp_bwd.
+
+    fuse_opt=True folds the optimizer apply INTO the gradient programs:
+    `tx` must then be the (tx_proc, tx_clf) pair from
+    make_optimizer(split=True) and state.opt_state the matching
+    (proc_side, clf_side) tuple (create_train_state(split_opt=True)).
+    clf_grad applies the classifier half of the Adam update in-program
+    (the grads never round-trip through HBM) and isp_bwd applies the
+    ISP half, so the standalone opt_apply program and its per-launch
+    overhead disappear. Exact by per-leaf-ness of Adam+masks: every
+    leaf's update depends only on that leaf's gradient/param/moments,
+    and both sides consume the PRE-update params (coupled L2 included).
     """
+    tx_proc = tx_clf = None
+    if fuse_opt:
+        if not (isinstance(tx, tuple) and len(tx) == 2):
+            raise ValueError("fuse_opt=True needs the (tx_proc, tx_clf) "
+                             "pair from make_optimizer(split=True)")
+        tx_proc, tx_clf = tx
     loss_fn_task = task_loss_fn(cfg)
     aug = get_augmentation(cfg.augmentation)
     aux_fn = (L.aux_loss(cfg.adv_aux_loss, cfg.adv_aux_weight)
@@ -413,8 +463,7 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                 new_stats = dict(proc_stats, batch_norm=bn_stats)
         return rgb, new_stats, pre, res
 
-    @jax.jit
-    def isp_bwd_fast(proc_params, proc_stats, raw, pre, res, d_rgb):
+    def _isp_bwd_fast_impl(proc_params, proc_stats, raw, pre, res, d_rgb):
         from raw2logit_tpu.pallas.fused_isp import _is_tpu
         from raw2logit_tpu.pallas.fused_isp_bwd import fused_isp_bwd_pallas
         d_pre = d_rgb
@@ -438,8 +487,9 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                 jnp.sum(d_pre, axis=0, keepdims=True), (0, 2, 3, 1))
         return {k: grads[k] for k in proc_params}
 
-    @jax.jit
-    def clf_grad(clf_params, clf_stats, rgb, y, key):
+    isp_bwd_fast = jax.jit(_isp_bwd_fast_impl)
+
+    def _clf_grad_impl(clf_params, clf_stats, rgb, y, key):
         def loss_fn(clf_params, rgb):
             x = rgb
             if fast:
@@ -473,8 +523,9 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             loss_fn, argnums=(0, 1), has_aux=True)(clf_params, rgb)
         return grads[0], grads[1], new_cs, mets
 
-    @jax.jit
-    def clf_grad_bn(clf_params, clf_stats, pre, bn_stats, y, key):
+    clf_grad = jax.jit(_clf_grad_impl)
+
+    def _clf_grad_bn_impl(clf_params, clf_stats, pre, bn_stats, y, key):
         """clf_grad with the processor's train-mode BN folded in (see
         bn_in_clf above): consumes the planar pre-BN tensor, returns its
         cotangent plus the updated BN running stats."""
@@ -513,6 +564,40 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             loss_fn, argnums=(0, 1), has_aux=True)(clf_params, pre)
         return grads[0], grads[1], new_bn, new_cs, mets
 
+    clf_grad_bn = jax.jit(_clf_grad_bn_impl)
+
+    if fuse_opt:
+        # the classifier half of the optimizer runs inside the gradient
+        # program: grads stay fused with their consumers instead of being
+        # written out, and params/moments donate into their updated
+        # selves. The adversarial aux loss never touches clf grads (it is
+        # a function of the processor OUTPUT only, model.py:94-98), so
+        # fusing before aux_grad is exact in adv mode too.
+        def _clf_apply(clf_params, clf_g, clf_opt):
+            updates, new_opt = tx_clf.update(clf_g, clf_opt, clf_params)
+            return optax.apply_updates(clf_params, updates), new_opt
+
+        def _clf_grad_opt_impl(clf_params, clf_stats, rgb, y, key,
+                               clf_opt):
+            clf_g, d_rgb, new_cs, mets = _clf_grad_impl(
+                clf_params, clf_stats, rgb, y, key)
+            new_clf, new_opt = _clf_apply(clf_params, clf_g, clf_opt)
+            return new_clf, new_opt, d_rgb, new_cs, mets
+
+        def _clf_grad_bn_opt_impl(clf_params, clf_stats, pre, bn_stats,
+                                  y, key, clf_opt):
+            clf_g, d_pre, new_bn, new_cs, mets = _clf_grad_bn_impl(
+                clf_params, clf_stats, pre, bn_stats, y, key)
+            new_clf, new_opt = _clf_apply(clf_params, clf_g, clf_opt)
+            return new_clf, new_opt, d_pre, new_bn, new_cs, mets
+
+        clf_grad_opt = jax.jit(
+            _clf_grad_opt_impl,
+            donate_argnums=(0, 5) if donate else ())
+        clf_grad_bn_opt = jax.jit(
+            _clf_grad_bn_opt_impl,
+            donate_argnums=(0, 6) if donate else ())
+
     @jax.jit
     def aux_grad(ref_rgb, rgb, d_rgb, task_loss):
         """Adversarial regularizer value + rgb cotangent, fused with the
@@ -529,12 +614,42 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         loss_aux, g = jax.value_and_grad(f)(rgb)
         return loss_aux, task_loss + loss_aux, d_rgb + g
 
-    @jax.jit
-    def isp_bwd(proc_params, proc_stats, raw, d_rgb):
+    def _isp_bwd_impl(proc_params, proc_stats, raw, d_rgb):
         def rgb_of(p):
             return _isp(p, proc_stats, raw)[0]
         _, vjp = jax.vjp(rgb_of, proc_params)
         return vjp(d_rgb)[0]
+
+    isp_bwd = jax.jit(_isp_bwd_impl)
+
+    if fuse_opt:
+        # ISP half of the optimizer inside the ISP backward program
+        # (129 scalars' moments — negligible next to the kernel)
+        def _proc_apply(proc_params, proc_g, proc_opt):
+            updates, new_opt = tx_proc.update(proc_g, proc_opt,
+                                              proc_params)
+            return optax.apply_updates(proc_params, updates), new_opt
+
+        def _isp_bwd_fast_opt_impl(proc_params, proc_stats, raw, pre,
+                                   res, d_rgb, proc_opt):
+            proc_g = _isp_bwd_fast_impl(proc_params, proc_stats, raw,
+                                        pre, res, d_rgb)
+            return _proc_apply(proc_params, proc_g, proc_opt)
+
+        def _isp_bwd_opt_impl(proc_params, proc_stats, raw, d_rgb,
+                              proc_opt):
+            proc_g = _isp_bwd_impl(proc_params, proc_stats, raw, d_rgb)
+            return _proc_apply(proc_params, proc_g, proc_opt)
+
+        # proc_params are consumed by isp_fwd strictly earlier in the
+        # step's dispatch order (isp_bwd depends on its outputs), so
+        # donating them here matches opt_apply's memory story
+        isp_bwd_fast_opt = jax.jit(
+            _isp_bwd_fast_opt_impl,
+            donate_argnums=(0, 6) if donate else ())
+        isp_bwd_opt = jax.jit(
+            _isp_bwd_opt_impl,
+            donate_argnums=(0, 4) if donate else ())
 
     def _opt_apply(grads, opt_state, params):
         updates, new_opt = tx.update(grads, opt_state, params)
@@ -543,10 +658,13 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     # donation: grads/opt_state/params are all dead after this call (the
     # three other programs consumed the old params earlier in the step's
     # dispatch order), so donating matches make_train_step's memory story
-    opt_apply = jax.jit(_opt_apply,
-                        donate_argnums=(0, 1, 2) if donate else ())
+    opt_apply = (None if fuse_opt else
+                 jax.jit(_opt_apply,
+                         donate_argnums=(0, 1, 2) if donate else ()))
 
     def step(state: TrainState, raw, y, key):
+        if fuse_opt:
+            proc_opt, clf_opt = state.opt_state
         use_bn_prog = bn_in_clf and "batch_norm" in state.proc_stats
         if use_bn_prog:
             pre, new_ps, res = isp_fwd_fast(
@@ -558,10 +676,19 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         else:
             rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
         if use_bn_prog:
-            clf_g, d_rgb, new_bn, new_cs, mets = clf_grad_bn(
-                state.clf_params, state.clf_stats, pre,
-                state.proc_stats["batch_norm"], y, key)
+            if fuse_opt:
+                new_clf, new_clf_opt, d_rgb, new_bn, new_cs, mets = \
+                    clf_grad_bn_opt(state.clf_params, state.clf_stats, pre,
+                                    state.proc_stats["batch_norm"], y, key,
+                                    clf_opt)
+            else:
+                clf_g, d_rgb, new_bn, new_cs, mets = clf_grad_bn(
+                    state.clf_params, state.clf_stats, pre,
+                    state.proc_stats["batch_norm"], y, key)
             new_ps = dict(new_ps, batch_norm=new_bn)
+        elif fuse_opt:
+            new_clf, new_clf_opt, d_rgb, new_cs, mets = clf_grad_opt(
+                state.clf_params, state.clf_stats, rgb, y, key, clf_opt)
         else:
             clf_g, d_rgb, new_cs, mets = clf_grad(
                 state.clf_params, state.clf_stats, rgb, y, key)
@@ -578,18 +705,33 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             loss_aux, total, d_rgb = aux_grad(ref_rgb, rgb, d_rgb,
                                               mets["loss"])
             mets = dict(mets, loss=total, loss_aux=loss_aux)
-        if processor is not None and state.proc_params:
-            if fast:
-                proc_g = isp_bwd_fast(state.proc_params, state.proc_stats,
-                                      raw, pre, res, d_rgb)
+        if fuse_opt:
+            if processor is not None and state.proc_params:
+                if fast:
+                    new_proc, new_proc_opt = isp_bwd_fast_opt(
+                        state.proc_params, state.proc_stats, raw, pre,
+                        res, d_rgb, proc_opt)
+                else:
+                    new_proc, new_proc_opt = isp_bwd_opt(
+                        state.proc_params, state.proc_stats, raw, d_rgb,
+                        proc_opt)
             else:
-                proc_g = isp_bwd(state.proc_params, state.proc_stats, raw,
-                                 d_rgb)
+                new_proc, new_proc_opt = state.proc_params, proc_opt
+            new_opt = (new_proc_opt, new_clf_opt)
         else:
-            proc_g = state.proc_params
-        (new_proc, new_clf), new_opt = opt_apply(
-            (proc_g, clf_g), state.opt_state,
-            (state.proc_params, state.clf_params))
+            if processor is not None and state.proc_params:
+                if fast:
+                    proc_g = isp_bwd_fast(state.proc_params,
+                                          state.proc_stats,
+                                          raw, pre, res, d_rgb)
+                else:
+                    proc_g = isp_bwd(state.proc_params, state.proc_stats,
+                                     raw, d_rgb)
+            else:
+                proc_g = state.proc_params
+            (new_proc, new_clf), new_opt = opt_apply(
+                (proc_g, clf_g), state.opt_state,
+                (state.proc_params, state.clf_params))
         new_state = state.replace(step=state.step + 1,
                                   proc_params=new_proc, clf_params=new_clf,
                                   proc_stats=new_ps, clf_stats=new_cs,
@@ -597,18 +739,28 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
         return new_state, mets
 
     # expose the constituent jitted programs (bench cost analysis,
-    # per-program profiling)
+    # per-program profiling). With fuse_opt the clf_grad/isp_bwd slots
+    # hold the optimizer-fused variants (extra opt-side arg, params+opt
+    # outputs) and there is no opt_apply program.
     if fast:
-        step.programs = {"isp_fwd": isp_fwd_fast, "clf_grad": clf_grad,
-                         "isp_bwd": isp_bwd_fast, "opt_apply": opt_apply}
+        step.programs = {
+            "isp_fwd": isp_fwd_fast,
+            "clf_grad": clf_grad_opt if fuse_opt else clf_grad,
+            "isp_bwd": isp_bwd_fast_opt if fuse_opt else isp_bwd_fast}
         if bn_in_clf:
             # the variant step() uses when the state carries BN stats
-            step.programs["clf_grad_bn"] = clf_grad_bn
+            step.programs["clf_grad_bn"] = (clf_grad_bn_opt if fuse_opt
+                                            else clf_grad_bn)
     else:
-        step.programs = {"isp_fwd": isp_fwd, "clf_grad": clf_grad,
-                         "isp_bwd": isp_bwd, "opt_apply": opt_apply}
+        step.programs = {
+            "isp_fwd": isp_fwd,
+            "clf_grad": clf_grad_opt if fuse_opt else clf_grad,
+            "isp_bwd": isp_bwd_opt if fuse_opt else isp_bwd}
+    if not fuse_opt:
+        step.programs["opt_apply"] = opt_apply
     if aux_fn is not None:
         step.programs["aux_grad"] = aux_grad
+    step.fuse_opt = fuse_opt
 
     def cost_entries(state, raw, y, key):
         """(program, example_args) pairs covering the step's compute —
@@ -619,26 +771,30 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                              jnp.float32)
         else:
             rgb0 = jnp.zeros(raw.shape + (3,), jnp.float32)
+        opt_tail = (state.opt_state[1],) if fuse_opt else ()
         if bn_in_clf and "batch_norm" in state.proc_stats:
-            ents = [(clf_grad_bn,
+            ents = [(clf_grad_bn_opt if fuse_opt else clf_grad_bn,
                      (state.clf_params, state.clf_stats, rgb0,
-                      state.proc_stats["batch_norm"], y, key))]
+                      state.proc_stats["batch_norm"], y, key) + opt_tail)]
         else:
-            ents = [(clf_grad, (state.clf_params, state.clf_stats, rgb0,
-                                y, key))]
+            ents = [(clf_grad_opt if fuse_opt else clf_grad,
+                     (state.clf_params, state.clf_stats, rgb0,
+                      y, key) + opt_tail)]
+        proc_tail = (state.opt_state[0],) if fuse_opt else ()
         if fast:
             ents.append((isp_fwd_fast,
                          (state.proc_params, state.proc_stats, raw)))
             res0 = jnp.zeros((raw.shape[0], 5) + raw.shape[1:],
                              jnp.float32)
-            ents.append((isp_bwd_fast,
+            ents.append((isp_bwd_fast_opt if fuse_opt else isp_bwd_fast,
                          (state.proc_params, state.proc_stats, raw, rgb0,
-                          res0, rgb0)))
+                          res0, rgb0) + proc_tail))
         elif processor is not None:
             ents.append((isp_fwd,
                          (state.proc_params, state.proc_stats, raw)))
-            ents.append((isp_bwd,
-                         (state.proc_params, state.proc_stats, raw, rgb0)))
+            ents.append((isp_bwd_opt if fuse_opt else isp_bwd,
+                         (state.proc_params, state.proc_stats, raw, rgb0)
+                         + proc_tail))
         return ents
 
     step.cost_entries = cost_entries

@@ -140,6 +140,13 @@ def build_parser():
                         "update; each program compiles separately — for "
                         "remote-compile backends where the monolithic "
                         "step's compile exceeds budget)")
+    p.add_argument("--fuse_opt", action="store_true",
+                   help="with --staged_step: fold the per-module Adam "
+                        "applies into the two gradient programs (no "
+                        "standalone opt_apply dispatch; same optimization "
+                        "— Adam is per-leaf). opt_state becomes a "
+                        "(proc, clf) pair, so checkpoints are only "
+                        "resumable with the same flag")
     p.add_argument("--checkpoint_every_n_epochs", type=int, default=0,
                    help="periodic checkpointing for failure recovery "
                         "(0 = only final)")
@@ -214,6 +221,9 @@ def build_classifier(args, dataset, dtype):
 
 def run_train(args):
     print(args)
+    if getattr(args, "fuse_opt", False) and not args.staged_step:
+        raise SystemExit("--fuse_opt requires --staged_step (the "
+                         "monolith already fuses the optimizer)")
     training_mode = "adversarial" if args.adv_training else "default"
     if args.dataset.startswith("Synthetic"):
         dataset = get_dataset(args.dataset)
@@ -320,7 +330,8 @@ def run_train(args):
         sample_raw = jnp.zeros((args.batch_size,) + sample.shape,
                                jnp.float32)
         state, tx = create_train_state(cfg, processor, classifier,
-                                       sample_raw, rng)
+                                       sample_raw, rng,
+                                       split_opt=args.fuse_opt)
 
         # ImageNet-pretrained init: overlay converted torchvision weights
         # onto the freshly-initialized classifier (reference model.py:15-23
@@ -382,7 +393,7 @@ def run_train(args):
         if args.staged_step:
             from raw2logit_tpu.training.core import make_staged_train_step
             train_step = make_staged_train_step(cfg, processor, classifier,
-                                                tx)
+                                                tx, fuse_opt=args.fuse_opt)
         else:
             train_step = make_train_step(cfg, processor, classifier, tx)
         eval_step = make_eval_step(cfg, processor, classifier)

@@ -551,3 +551,206 @@ def test_flat_optimizer_bitwise_matches_per_leaf(cfg):
         for a, b in zip(jax.tree_util.tree_leaves(p_flat),
                         jax.tree_util.tree_leaves(p_leaf)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("cfg", [
+    TrainConfig(lr=1e-3),
+    TrainConfig(lr=1e-3, weight_decay=1e-2),
+    TrainConfig(lr=1e-2, freeze_classifier=True),
+    TrainConfig(lr=1e-2, adv_training=True, loss_weight=-1.0,
+                adv_parameters="gamma_correct", freeze_classifier=True),
+], ids=["plain", "wd", "freeze", "adv-targeted"])
+def test_split_optimizer_bitwise_matches_joint(cfg):
+    """make_optimizer(split=True)'s (tx_proc, tx_clf) pair must reproduce
+    the joint optimizer EXACTLY: Adam with coupled L2 and freeze masks is
+    per-leaf, so restricting it to each module changes nothing. This is
+    what makes the fuse_opt staged step (optimizer apply folded into the
+    gradient programs) the same optimization."""
+    import optax
+
+    params = (
+        {"gamma_correct": jnp.array([0.35], jnp.float32),
+         "black_level": jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32),
+         "colour_correction": jnp.eye(3, dtype=jnp.float32)},
+        {"conv": {"kernel": jnp.arange(12, dtype=jnp.float32)
+                  .reshape(2, 2, 3) / 7.0},
+         "bn": {"scale": jnp.ones((3,)), "bias": jnp.zeros((3,))}},
+    )
+    tx_joint = make_optimizer(cfg, *params)
+    tx_proc, tx_clf = make_optimizer(cfg, *params, split=True)
+    s_joint = jax.jit(tx_joint.init)(params)
+    s_proc = jax.jit(tx_proc.init)(params[0])
+    s_clf = jax.jit(tx_clf.init)(params[1])
+    p_joint = p_split = params
+    for i in range(4):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        ks = jax.random.split(jax.random.fold_in(jax.random.key(3), i),
+                              len(leaves))
+        grads = jax.tree_util.tree_unflatten(
+            treedef, [jax.random.normal(k, l.shape, l.dtype)
+                      for k, l in zip(ks, leaves)])
+        u_j, s_joint = tx_joint.update(grads, s_joint, p_joint)
+        p_joint = optax.apply_updates(p_joint, u_j)
+        u_p, s_proc = tx_proc.update(grads[0], s_proc, p_split[0])
+        u_c, s_clf = tx_clf.update(grads[1], s_clf, p_split[1])
+        p_split = (optax.apply_updates(p_split[0], u_p),
+                   optax.apply_updates(p_split[1], u_c))
+        for a, b in zip(jax.tree_util.tree_leaves(p_joint),
+                        jax.tree_util.tree_leaves(p_split)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_opt_staged_matches_monolith(monkeypatch):
+    """fuse_opt=True (classifier Adam/SGD apply inside clf_grad, ISP
+    apply inside isp_bwd, no opt_apply program) must compute the same
+    update as the monolithic step — fast Pallas path, SGD for tight
+    tolerances (see test_staged_step_matches_monolithic)."""
+    import optax
+    from raw2logit_tpu.training import make_staged_train_step
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=6)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32,
+        use_pallas=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+
+    tx = optax.sgd(1e-3)
+    state_m = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+
+    tx_pair = (optax.sgd(1e-3), optax.sgd(1e-3))
+    state_f = state.replace(opt_state=(
+        jax.jit(tx_pair[0].init)(state.proc_params),
+        jax.jit(tx_pair[1].init)(state.clf_params)))
+    fused = make_staged_train_step(cfg, processor, classifier, tx_pair,
+                                   donate=False, fuse_opt=True)
+    assert "opt_apply" not in fused.programs
+
+    key = jax.random.key(13)
+    s_mono, m_mono = mono(state_m, raw, y, key)
+    s_fused, m_fused = fused(state_f, raw, y, key)
+
+    assert abs(float(m_mono["loss"]) - float(m_fused["loss"])) < 1e-5
+    flat_mono = jax.tree_util.tree_leaves(
+        (s_mono.proc_params, s_mono.clf_params, s_mono.proc_stats,
+         s_mono.clf_stats))
+    flat_fused = jax.tree_util.tree_leaves(
+        (s_fused.proc_params, s_fused.clf_params, s_fused.proc_stats,
+         s_fused.clf_stats))
+    for a, b in zip(flat_mono, flat_fused):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_fused_opt_staged_adversarial_matches_monolith(monkeypatch):
+    """Adversarial drift-forensics mode through the fuse_opt staged path:
+    the aux cotangent folds into d_rgb BEFORE the opt-fused isp_bwd, the
+    frozen classifier's masked update is a no-op inside clf_grad_opt."""
+    import optax
+    from raw2logit_tpu.training import make_staged_train_step
+    from raw2logit_tpu.training.core import _param_labels
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    cfg = TrainConfig(task="classification", lr=1e-3, adv_training=True,
+                      loss_weight=-1.0, adv_aux_loss="ssim",
+                      adv_aux_weight=0.1, freeze_classifier=True)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=4)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32,
+        use_pallas=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+
+    # the same masked optimizer in joint and per-module form, with SGD
+    # in the train slot for tight tolerances (make_optimizer's structure,
+    # Adam swapped out)
+    def masked_sgd(labels):
+        return optax.multi_transform(
+            {"train": optax.sgd(1e-3), "freeze": optax.set_to_zero()},
+            param_labels=labels)
+
+    lp = _param_labels(state.proc_params, cfg, "proc")
+    lc = _param_labels(state.clf_params, cfg, "clf")
+    tx = masked_sgd((lp, lc))
+    state_m = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+
+    tx_pair = (masked_sgd(lp), masked_sgd(lc))
+    state_f = state.replace(opt_state=(
+        jax.jit(tx_pair[0].init)(state.proc_params),
+        jax.jit(tx_pair[1].init)(state.clf_params)))
+    fused = make_staged_train_step(cfg, processor, classifier, tx_pair,
+                                   donate=False, fuse_opt=True)
+    assert "aux_grad" in fused.programs
+
+    key = jax.random.key(21)
+    s_mono, m_mono = mono(state_m, raw, y, key)
+    s_fused, m_fused = fused(state_f, raw, y, key)
+
+    assert float(m_fused["loss_aux"]) > 0.0
+    assert abs(float(m_mono["loss"]) - float(m_fused["loss"])) < 1e-5
+    assert abs(float(m_mono["loss_aux"])
+               - float(m_fused["loss_aux"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s_mono.proc_params),
+                    jax.tree_util.tree_leaves(s_fused.proc_params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)
+    # the frozen classifier moved in neither
+    for a, b in zip(jax.tree_util.tree_leaves(state.clf_params),
+                    jax.tree_util.tree_leaves(s_fused.clf_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_opt_adam_trajectory_tracks_monolith(monkeypatch):
+    """The bench's fuse_opt path with the real split Adam pair
+    (create_train_state(split_opt=True)) vs the monolith with the joint
+    optimizer: same 30-step optimization within the reassociation band
+    (see test_staged_adam_trajectory_tracks_monolith)."""
+    from raw2logit_tpu.training import make_staged_train_step
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    ds = SyntheticRawClassification(n=8, h=32, w=32, seed=8)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=32,
+        use_pallas=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.asarray([ds[i][1] for i in range(4)], jnp.int32)
+
+    state_m, tx = create_train_state(cfg, processor, classifier, raw,
+                                     jax.random.key(0))
+    state_f, tx_pair = create_train_state(cfg, processor, classifier, raw,
+                                          jax.random.key(0),
+                                          split_opt=True)
+    mono = make_train_step(cfg, processor, classifier, tx, donate=False)
+    fused = make_staged_train_step(cfg, processor, classifier, tx_pair,
+                                   donate=False, fuse_opt=True)
+    key = jax.random.key(17)
+    losses_m, losses_f = [], []
+    for i in range(30):
+        k = jax.random.fold_in(key, i)
+        state_m, mm = mono(state_m, raw, y, k)
+        state_f, mf = fused(state_f, raw, y, k)
+        losses_m.append(float(mm["loss"]))
+        losses_f.append(float(mf["loss"]))
+
+    losses_m, losses_f = np.asarray(losses_m), np.asarray(losses_f)
+    assert losses_m[-1] < losses_m[0] and losses_f[-1] < losses_f[0]
+    band = np.abs(losses_m - losses_f)
+    assert band.max() < 0.02, f"max |d loss| {band.max():.4f}"
+    assert band.mean() < 0.005, f"mean |d loss| {band.mean():.4f}"
+    assert abs(losses_m[-1] - losses_f[-1]) < 0.01

@@ -70,10 +70,13 @@ def main():
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+    # PROFILE_FUSE_OPT=1: per-module Adam applies folded into the two
+    # gradient programs (no opt_apply row)
+    fuse_opt = os.environ.get("PROFILE_FUSE_OPT", "0") == "1"
     state, tx = create_train_state(cfg, processor, classifier, raw,
-                                   jax.random.key(0))
+                                   jax.random.key(0), split_opt=fuse_opt)
     step = make_staged_train_step(cfg, processor, classifier, tx,
-                                  donate=False)
+                                  donate=False, fuse_opt=fuse_opt)
     key = jax.random.key(1)
 
     # materialize the intermediate tensors each program needs; the fast
@@ -90,20 +93,28 @@ def main():
         rgb, _ = fwd_out
     bn_in_clf = ("clf_grad_bn" in step.programs
                  and "batch_norm" in state.proc_stats)
+    clf_tail = (state.opt_state[1],) if fuse_opt else ()
     if bn_in_clf:
         clf_prog = step.programs["clf_grad_bn"]
         clf_args = (state.clf_params, state.clf_stats, pre,
-                    state.proc_stats["batch_norm"], y, key)
-        clf_g, d_rgb, _, _, mets = clf_prog(*clf_args)
+                    state.proc_stats["batch_norm"], y, key) + clf_tail
+        out = clf_prog(*clf_args)
+        d_rgb, mets = out[2 if fuse_opt else 1], out[-1]
+        clf_g = out[0]  # grads (plain) or updated params (fused; unused)
     else:
         clf_prog = step.programs["clf_grad"]
-        clf_args = (state.clf_params, state.clf_stats, rgb, y, key)
-        clf_g, d_rgb, _, mets = clf_prog(*clf_args)
+        clf_args = (state.clf_params, state.clf_stats, rgb, y,
+                    key) + clf_tail
+        out = clf_prog(*clf_args)
+        d_rgb, mets = out[2 if fuse_opt else 1], out[-1]
+        clf_g = out[0]
     if fast:
         bwd_args = (state.proc_params, state.proc_stats, raw, pre, res,
                     d_rgb)
     else:
         bwd_args = (state.proc_params, state.proc_stats, raw, d_rgb)
+    if fuse_opt:
+        bwd_args = bwd_args + (state.opt_state[0],)
     proc_g = step.programs["isp_bwd"](*bwd_args)
     float(mets["loss"])  # barrier
 
@@ -116,11 +127,13 @@ def main():
                      lambda o: o[-1]["loss"]),
         "isp_bwd": (step.programs["isp_bwd"], bwd_args,
                     lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
-        "opt_apply": (step.programs["opt_apply"],
-                      ((proc_g, clf_g), state.opt_state,
-                       (state.proc_params, state.clf_params)),
-                      lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
     }
+    if not fuse_opt:
+        progs["opt_apply"] = (
+            step.programs["opt_apply"],
+            ((proc_g, clf_g), state.opt_state,
+             (state.proc_params, state.clf_params)),
+            lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0])
 
     total = 0.0
     report = {}
