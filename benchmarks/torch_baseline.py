@@ -99,6 +99,151 @@ def _build_torch_models(n_classes=9):
     return ISP(), ResNet18(n_classes)
 
 
+def _build_torch_unetpp(n_classes=1):
+    """torch U-Net++ matching the reference's segmentation config
+    (train.py:218-225: smp.UnetPlusPlus, resnet34 encoder, depth 5,
+    decoder (256,128,64,32,16), 1 class). Written independently with the
+    same nested-dense-skip structure; smp itself is not in this image."""
+    import torch
+    import torch.nn as nn
+
+    class Enc34(nn.Module):
+        """resnet34-shaped encoder: stem + 4 stages (3,4,6,3 basic blocks)."""
+
+        def __init__(self):
+            super().__init__()
+
+            def block(cin, cout, stride=1):
+                layers = [nn.Conv2d(cin, cout, 3, stride, 1, bias=False),
+                          nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+                          nn.Conv2d(cout, cout, 3, 1, 1, bias=False),
+                          nn.BatchNorm2d(cout)]
+                return nn.Sequential(*layers)
+
+            self.conv1 = nn.Sequential(
+                nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+                nn.ReLU(inplace=True))
+            self.pool = nn.MaxPool2d(3, 2, 1)
+            chans = [64, 128, 256, 512]
+            reps = [3, 4, 6, 3]
+            stages = []
+            cin = 64
+            for c, r in zip(chans, reps):
+                blocks = []
+                for j in range(r):
+                    stride = 2 if (j == 0 and c != 64) else 1
+                    blocks.append(block(cin, c, stride))
+                    cin = c
+                stages.append(nn.ModuleList(blocks))
+            self.stages = nn.ModuleList(stages)
+            self.relu = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            feats = [x]
+            x = self.conv1(x)
+            feats.append(x)  # /2
+            x = self.pool(x)
+            for stage in self.stages:
+                for blk in stage:
+                    y = blk(x)
+                    if y.shape == x.shape:
+                        y = y + x
+                    x = self.relu(y)
+                feats.append(x)  # /4 /8 /16 /32
+            return feats
+
+    class UNetPP(nn.Module):
+        """Nested grid X[i][j] over 6 encoder rows (input /1 included),
+        head at X[0][depth] — same topology as raw2logit_tpu.models.unetpp
+        (which mirrors smp's UnetPlusPlus)."""
+
+        def __init__(self, classes, decoder=(256, 128, 64, 32, 16)):
+            super().__init__()
+            self.enc = Enc34()
+            enc_ch = [3, 64, 64, 128, 256, 512]  # rows 0..5, X[i][0]
+            row_ch = list(decoder)[::-1]  # row 0 gets decoder[-1]
+            self.up = nn.Upsample(scale_factor=2, mode="nearest")
+            self.depth = len(decoder)
+
+            def conv(cin, cout):
+                return nn.Sequential(
+                    nn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+                    nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+                    nn.Conv2d(cout, cout, 3, 1, 1, bias=False),
+                    nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+            self.blocks = nn.ModuleDict()
+            grid_ch = {(i, 0): enc_ch[i] for i in range(self.depth + 1)}
+            for j in range(1, self.depth + 1):
+                for i in range(self.depth + 1 - j):
+                    cin = (sum(grid_ch[(i, k)] for k in range(j))
+                           + grid_ch[(i + 1, j - 1)])
+                    self.blocks[f"{i}_{j}"] = conv(cin, row_ch[i])
+                    grid_ch[(i, j)] = row_ch[i]
+            self.head = nn.Conv2d(row_ch[0], classes, 3, 1, 1)
+
+        def forward(self, x):
+            import torch
+            feats = self.enc(x)  # rows 0..5 at /1 /2 /4 /8 /16 /32
+            grid = {(i, 0): feats[i] for i in range(self.depth + 1)}
+            for j in range(1, self.depth + 1):
+                for i in range(self.depth + 1 - j):
+                    parts = [grid[(i, k)] for k in range(j)]
+                    parts.append(self.up(grid[(i + 1, j - 1)]))
+                    grid[(i, j)] = self.blocks[f"{i}_{j}"](
+                        torch.cat(parts, dim=1))
+            return self.head(grid[(0, self.depth)])
+
+    return UNetPP(n_classes)
+
+
+def measure_torch_cpu_seg(batch=4, image_size=256, steps=2):
+    """imgs/sec of the joint ISP + U-Net++ Dice segmentation train step,
+    torch CPU (reference train.py:218-237 config)."""
+    import torch
+    torch.manual_seed(0)
+    isp, _ = _build_torch_models()
+    net = _build_torch_unetpp(1)
+    opt = torch.optim.Adam(list(isp.parameters()) + list(net.parameters()),
+                           lr=1e-5)
+    raw = torch.rand(batch, image_size, image_size)
+    y = torch.randint(0, 2, (batch, 1, image_size, image_size)).float()
+
+    def dice_loss(logits, target, eps=1.0):
+        p = torch.sigmoid(logits)
+        inter = (p * target).sum()
+        return 1 - (2 * inter + eps) / (p.sum() + target.sum() + eps)
+
+    def one_step():
+        opt.zero_grad()
+        loss = dice_loss(net(isp(raw)), y)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def get_torch_seg_baseline(cache_path="results/torch_baseline_seg.json",
+                           **kw):
+    if not kw and os.path.exists(cache_path):
+        with open(cache_path) as fh:
+            return json.load(fh)["train_imgs_per_sec"]
+    val = measure_torch_cpu_seg(**kw)
+    if not kw:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as fh:
+            json.dump({"train_imgs_per_sec": val,
+                       "config": "torch-cpu parametrized ISP + U-Net++ "
+                                 "(resnet34 enc, depth 5) + Dice, "
+                                 "batch 4, 256x256"}, fh)
+    return val
+
+
 def measure_torch_cpu(batch=4, image_size=256, steps=3, n_classes=9,
                       train=True):
     """imgs/sec of the joint ISP+ResNet18 step, torch CPU.
