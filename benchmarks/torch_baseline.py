@@ -99,19 +99,23 @@ def _build_torch_models(n_classes=9):
     return ISP(), ResNet18(n_classes)
 
 
-def _build_torch_unetpp(n_classes=1):
+def _build_torch_unetpp(n_classes=1, decoder=(256, 128, 64, 32, 16)):
     """torch U-Net++ matching the reference's segmentation config
     (train.py:218-225: smp.UnetPlusPlus, resnet34 encoder, depth 5,
-    decoder (256,128,64,32,16), 1 class). Written independently with the
+    decoder (256,128,64,32,16), 1 class) or the neural-ISP config
+    (depth 3, decoder (256,128,64)). Written independently with the
     same nested-dense-skip structure; smp itself is not in this image."""
     import torch
     import torch.nn as nn
 
     class Enc34(nn.Module):
-        """resnet34-shaped encoder: stem + 4 stages (3,4,6,3 basic blocks)."""
+        """resnet34-shaped encoder: stem + up to 4 stages (3,4,6,3
+        basic blocks); n_stages trims the unused deep stages for
+        truncated-depth (neural-ISP) configs."""
 
-        def __init__(self):
+        def __init__(self, n_stages=4):
             super().__init__()
+            self.n_stages = n_stages
 
             def block(cin, cout, stride=1):
                 layers = [nn.Conv2d(cin, cout, 3, stride, 1, bias=False),
@@ -124,8 +128,8 @@ def _build_torch_unetpp(n_classes=1):
                 nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
                 nn.ReLU(inplace=True))
             self.pool = nn.MaxPool2d(3, 2, 1)
-            chans = [64, 128, 256, 512]
-            reps = [3, 4, 6, 3]
+            chans = [64, 128, 256, 512][: n_stages]
+            reps = [3, 4, 6, 3][: n_stages]
             stages = []
             cin = 64
             for c, r in zip(chans, reps):
@@ -159,7 +163,7 @@ def _build_torch_unetpp(n_classes=1):
 
         def __init__(self, classes, decoder=(256, 128, 64, 32, 16)):
             super().__init__()
-            self.enc = Enc34()
+            self.enc = Enc34(n_stages=max(len(decoder) - 1, 1))
             enc_ch = [3, 64, 64, 128, 256, 512]  # rows 0..5, X[i][0]
             row_ch = list(decoder)[::-1]  # row 0 gets decoder[-1]
             self.up = nn.Upsample(scale_factor=2, mode="nearest")
@@ -185,6 +189,7 @@ def _build_torch_unetpp(n_classes=1):
         def forward(self, x):
             import torch
             feats = self.enc(x)  # rows 0..5 at /1 /2 /4 /8 /16 /32
+            feats = feats[: self.depth + 1]
             grid = {(i, 0): feats[i] for i in range(self.depth + 1)}
             for j in range(1, self.depth + 1):
                 for i in range(self.depth + 1 - j):
@@ -241,6 +246,59 @@ def get_torch_seg_baseline(cache_path="results/torch_baseline_seg.json",
                        "config": "torch-cpu parametrized ISP + U-Net++ "
                                  "(resnet34 enc, depth 5) + Dice, "
                                  "batch 4, 256x256"}, fh)
+    return val
+
+
+def measure_torch_cpu_nn_isp(batch=4, image_size=256, steps=2, n_classes=9):
+    """imgs/sec of the neural-ISP train step, torch CPU: half-resolution
+    mosaic packing -> U-Net++ (resnet34 enc, depth 3, decoder
+    (256,128,64), 3->3) -> BN -> ResNet18 -> CE (reference
+    pipeline_torch.py:83-126 + train.py:198-200 config)."""
+    import torch
+    import torch.nn as nn
+    torch.manual_seed(0)
+    _, net = _build_torch_models(n_classes)
+    isp_unet = _build_torch_unetpp(3, decoder=(256, 128, 64))
+    out_bn = nn.BatchNorm2d(3, affine=False)
+    opt = torch.optim.Adam(
+        list(isp_unet.parameters()) + list(net.parameters()), lr=1e-5)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    raw = torch.rand(batch, image_size, image_size)
+    y = torch.randint(0, n_classes, (batch,))
+
+    def pack(raw):
+        # half-size 3-channel packing (reference raw2rgb reduce_size=True)
+        r = raw[:, 0::2, 0::2]
+        g = (raw[:, 0::2, 1::2] + raw[:, 1::2, 0::2]) / 2
+        b = raw[:, 1::2, 1::2]
+        return torch.stack([r, g, b], dim=1)
+
+    def one_step():
+        opt.zero_grad()
+        rgb = out_bn(isp_unet(pack(raw)))
+        loss = loss_fn(net(rgb), y)
+        loss.backward()
+        opt.step()
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def get_torch_nn_isp_baseline(cache_path="results/torch_baseline_nn.json",
+                              **kw):
+    if not kw and os.path.exists(cache_path):
+        with open(cache_path) as fh:
+            return json.load(fh)["train_imgs_per_sec"]
+    val = measure_torch_cpu_nn_isp(**kw)
+    if not kw:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as fh:
+            json.dump({"train_imgs_per_sec": val,
+                       "config": "torch-cpu neural ISP (U-Net++ d3) + "
+                                 "ResNet18, batch 4, 256x256 mosaic"}, fh)
     return val
 
 
