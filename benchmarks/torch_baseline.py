@@ -199,7 +199,7 @@ def _build_torch_unetpp(n_classes=1, decoder=(256, 128, 64, 32, 16)):
                         torch.cat(parts, dim=1))
             return self.head(grid[(0, self.depth)])
 
-    return UNetPP(n_classes)
+    return UNetPP(n_classes, decoder=decoder)
 
 
 def measure_torch_cpu_seg(batch=4, image_size=256, steps=2):
