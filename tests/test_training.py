@@ -97,6 +97,55 @@ def test_multi_device_data_parallel():
     assert int(s2.step) == 1
 
 
+def test_multi_device_dp_segmentation():
+    """DP over the 8-device mesh for the SEGMENTATION task (mask batch
+    axis sharded alongside the raws; XLA inserts the gradient
+    all-reduce exactly as in the classification path)."""
+    from raw2logit_tpu.data import SyntheticRawSegmentation
+    from raw2logit_tpu.models import UNetPlusPlus
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    ds = SyntheticRawSegmentation(n=8, h=H, w=W, seed=3)
+    cfg = TrainConfig(task="segmentation", lr=1e-3, augmentation="weak")
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=H)
+    classifier = UNetPlusPlus(encoder_name="resnet18", encoder_depth=5,
+                              decoder_channels=(32, 32, 16, 16, 16),
+                              classes=1)
+    raw = np.stack([np.asarray(ds[i][0]) for i in range(8)])
+    y = np.stack([np.asarray(ds[i][1]) for i in range(8)])
+    state, tx = create_train_state(cfg, processor, classifier,
+                                   jnp.asarray(raw), jax.random.key(0))
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    raw_s, y_s = shard_batch(mesh, (raw, y))
+    s2, m = step(state, raw_s, y_s, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["iou_score"]) <= 1.0
+
+
+def test_multi_device_dp_adversarial():
+    """DP over the 8-device mesh for the ADVERSARIAL (drift-forensics)
+    step: the frozen reference processor is replicated, the targeted
+    ISP param still moves, and the loss/aux stay finite."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = TrainConfig(task="classification", lr=1e-2, adv_training=True,
+                      loss_weight=-1.0, adv_aux_loss="ssim",
+                      adv_aux_weight=0.01, freeze_classifier=True,
+                      adv_parameters="gamma_correct")
+    processor, classifier, state, tx, raw, y = _setup(cfg, batch=16)
+    step = make_train_step(cfg, processor, classifier, tx, donate=False)
+    raw_s, y_s = shard_batch(mesh, (np.asarray(raw), np.asarray(y)))
+    s2, m = step(state, raw_s, y_s, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss_aux"]))
+    assert not np.array_equal(np.asarray(state.proc_params["gamma_correct"]),
+                              np.asarray(s2.proc_params["gamma_correct"]))
+    np.testing.assert_array_equal(
+        np.asarray(state.ref_proc_params["gamma_correct"]),
+        np.asarray(s2.ref_proc_params["gamma_correct"]))
+
+
 def test_eval_step():
     cfg = TrainConfig(task="classification")
     processor, classifier, state, tx, raw, y = _setup(cfg)
