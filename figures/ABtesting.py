@@ -47,6 +47,10 @@ def build_parser():
                    choices=(1, 2, 3, 4, 5))
     p.add_argument("--out_dir", default="results/ABtesting")
     p.add_argument("--metric", default="accuracy")
+    p.add_argument("--download_model", action="store_true",
+                   help="accepted for reference-CLI compatibility "
+                        "(ABtesting.py:42); checkpoints load from the "
+                        "local manifest, nothing to download")
     p.add_argument("--network", default="resnet18")
     # pipeline selection for the Show-Images modes (reference flag names)
     p.add_argument("--dm_train", default="bilinear",
