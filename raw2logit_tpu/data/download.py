@@ -132,13 +132,13 @@ def _manifest_complete(local_dir):
 
 
 def download_record_folder(folder, local_dir, api_url=ZENODO_API,
-                           force_download=False):
+                           force_download=False, timeout=60):
     """Sync every record file under ``folder/`` into local_dir; files
     already present (matching size) are skipped. A successful sync
     writes a manifest cache so later calls can skip the network."""
     if not force_download and _manifest_complete(local_dir):
         return local_dir
-    files = zenodo_file_list(api_url)
+    files = zenodo_file_list(api_url, timeout=timeout)
     prefix = folder.rstrip("/") + "/"
     os.makedirs(local_dir, exist_ok=True)
     synced = {}
@@ -156,6 +156,11 @@ def download_record_folder(folder, local_dir, api_url=ZENODO_API,
         print(f"fetching {f['name']} -> {dst}")
         fetch(f["url"], dst, expected_size=f["size"],
               expected_md5=f["md5"])
+    if not synced:
+        # zero matches means a wrong folder name or a transiently bad
+        # file list — caching {} would make _manifest_complete() pass
+        # forever and permanently short-circuit future syncs
+        raise ValueError(f"record lists no files under '{folder}'")
     with open(os.path.join(local_dir, _MANIFEST_CACHE), "w") as fh:
         json.dump(synced, fh)
     return local_dir
@@ -179,9 +184,15 @@ def b2_download_folder(b2_dir, local_dir, force_download=False,
         # always consult the manifest: its per-file size check skips
         # complete files cheaply, so an interrupted multi-file sync picks
         # up the missing files instead of short-circuiting on the first
-        # complete one
+        # complete one. When local content already exists (e.g. synced
+        # before the manifest cache existed), probe the network with a
+        # short timeout so an offline host falls back to the local copy
+        # in seconds, not after the full 60 s stall — every dataset init
+        # goes through here.
+        timeout = 5 if _complete_content(local_dir) else 60
         return download_record_folder(folder, local_dir, api_url=api_url,
-                                      force_download=force_download)
+                                      force_download=force_download,
+                                      timeout=timeout)
     except (urllib.error.URLError, OSError, ValueError) as e:
         if _complete_content(local_dir) and not force_download:
             # offline but previously synced — serve what's on disk

@@ -25,6 +25,8 @@ always do); iota-built selector matmuls are layout-offset-agnostic and run
 on the MXU. precision=HIGHEST keeps the 0/1 products exact in float32.
 """
 
+import contextvars
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -56,7 +58,10 @@ def _split3(x):
 # compare against a degraded reference. While tracing an interpret-mode
 # kernel the selector matmuls therefore use plain HIGHEST-precision f32
 # (within ~2^-26 of the split — far inside the parity tolerances).
-_EXACT_MM = False
+# A ContextVar (not a module global) so that an interpret-mode trace and
+# a compiled-mode trace running concurrently (threads / async tracing)
+# cannot see each other's precision mode.
+_EXACT_MM = contextvars.ContextVar("fused_isp_bwd_exact_mm", default=False)
 
 
 def _mm_sel_x(p_sel, x, terms=3):
@@ -67,7 +72,7 @@ def _mm_sel_x(p_sel, x, terms=3):
     near-clip-floor terms reach ~1e5 and cancel in the fold sums. The
     bwd kernel runs ~26 selector matmuls per image; they are a third of
     its runtime."""
-    if _EXACT_MM:
+    if _EXACT_MM.get():
         return _mm(p_sel, x)
     ps = p_sel.astype(jnp.bfloat16)
     return sum(jnp.dot(ps, t, preferred_element_type=jnp.float32)
@@ -75,7 +80,7 @@ def _mm_sel_x(p_sel, x, terms=3):
 
 
 def _mm_x_sel(x, p_sel, terms=3):
-    if _EXACT_MM:
+    if _EXACT_MM.get():
         return _mm(x, p_sel)
     ps = p_sel.astype(jnp.bfloat16)
     return sum(jnp.dot(t, ps, preferred_element_type=jnp.float32)
@@ -452,9 +457,7 @@ def fused_isp_bwd_pallas(raw, params, g, interpret, res=None,
         in_specs = [plane_spec, g_spec] + smem_specs
         operands = (raw, g_planar) + scalars
 
-    global _EXACT_MM
-    prev_exact = _EXACT_MM
-    _EXACT_MM = bool(interpret)  # see note above _mm_sel_x
+    token = _EXACT_MM.set(bool(interpret))  # see note above _mm_sel_x
     try:
         draw, part_b = \
             pl.pallas_call(
@@ -471,7 +474,7 @@ def fused_isp_bwd_pallas(raw, params, g, interpret, res=None,
                     vmem_limit_bytes=100 * 1024 * 1024),
             )(*operands)
     finally:
-        _EXACT_MM = prev_exact
+        _EXACT_MM.reset(token)
 
     # finish the lane-axis + batch reduction outside (tiny: B x 129 x W)
     # and chain dA -> (dwb, dccm)

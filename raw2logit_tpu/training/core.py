@@ -376,7 +376,11 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     """
     tx_proc = tx_clf = None
     if fuse_opt:
-        if not (isinstance(tx, tuple) and len(tx) == 2):
+        # a bare GradientTransformation is itself a 2-field NamedTuple, so
+        # an isinstance/len check alone would accept the joint optimizer
+        # and unpack its (init, update) functions
+        if (not (isinstance(tx, tuple) and len(tx) == 2)
+                or any(callable(part) for part in tx)):
             raise ValueError("fuse_opt=True needs the (tx_proc, tx_clf) "
                              "pair from make_optimizer(split=True)")
         tx_proc, tx_clf = tx
@@ -489,6 +493,32 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
 
     isp_bwd_fast = jax.jit(_isp_bwd_fast_impl)
 
+    def _clf_loss_tail(clf_params, clf_stats, x, y, key):
+        """Aug replay -> classifier -> loss/metrics: the part of the
+        gradient programs shared by the plain and bn_in_clf variants."""
+        if aug is not None:
+            x = aug(key, x, is_mask=False)
+        y_t = y
+        if cfg.task == "segmentation" and aug is not None:
+            y_t = aug(key, y_t, is_mask=True)
+        cvars = {"params": clf_params}
+        if clf_stats:
+            cvars["batch_stats"] = clf_stats
+        if update_clf_bn and clf_stats:
+            logits, mut = classifier.apply(cvars, x, train=True,
+                                           mutable=["batch_stats"])
+            new_cs = mut["batch_stats"]
+        else:
+            logits = classifier.apply(cvars, x, train=update_clf_bn)
+            new_cs = clf_stats
+        if cfg.task == "segmentation" and logits.shape[-1] == 1:
+            logits = logits[..., 0]
+        loss = loss_fn_task(logits, y_t)
+        mets = _step_metrics(cfg, logits, y_t)
+        mets["loss"] = loss
+        mets["loss_aux"] = jnp.zeros(())
+        return loss, new_cs, mets
+
     def _clf_grad_impl(clf_params, clf_stats, rgb, y, key):
         def loss_fn(clf_params, rgb):
             x = rgb
@@ -496,27 +526,8 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                 # planar program boundary; this transpose (and its
                 # cotangent twin) fuses into the model's first conv
                 x = jnp.transpose(x, (0, 2, 3, 1))
-            if aug is not None:
-                x = aug(key, x, is_mask=False)
-            y_t = y
-            if cfg.task == "segmentation" and aug is not None:
-                y_t = aug(key, y_t, is_mask=True)
-            cvars = {"params": clf_params}
-            if clf_stats:
-                cvars["batch_stats"] = clf_stats
-            if update_clf_bn and clf_stats:
-                logits, mut = classifier.apply(cvars, x, train=True,
-                                               mutable=["batch_stats"])
-                new_cs = mut["batch_stats"]
-            else:
-                logits = classifier.apply(cvars, x, train=update_clf_bn)
-                new_cs = clf_stats
-            if cfg.task == "segmentation" and logits.shape[-1] == 1:
-                logits = logits[..., 0]
-            loss = loss_fn_task(logits, y_t)
-            mets = _step_metrics(cfg, logits, y_t)
-            mets["loss"] = loss
-            mets["loss_aux"] = jnp.zeros(())
+            loss, new_cs, mets = _clf_loss_tail(clf_params, clf_stats,
+                                                x, y, key)
             return loss, (new_cs, mets)
 
         grads, (new_cs, mets) = jax.grad(
@@ -537,27 +548,8 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             # planar program boundary; this transpose (and its cotangent
             # twin) fuses into the model's first conv
             x = jnp.transpose(rgb, (0, 2, 3, 1))
-            if aug is not None:
-                x = aug(key, x, is_mask=False)
-            y_t = y
-            if cfg.task == "segmentation" and aug is not None:
-                y_t = aug(key, y_t, is_mask=True)
-            cvars = {"params": clf_params}
-            if clf_stats:
-                cvars["batch_stats"] = clf_stats
-            if update_clf_bn and clf_stats:
-                logits, mut = classifier.apply(cvars, x, train=True,
-                                               mutable=["batch_stats"])
-                new_cs = mut["batch_stats"]
-            else:
-                logits = classifier.apply(cvars, x, train=update_clf_bn)
-                new_cs = clf_stats
-            if cfg.task == "segmentation" and logits.shape[-1] == 1:
-                logits = logits[..., 0]
-            loss = loss_fn_task(logits, y_t)
-            mets = _step_metrics(cfg, logits, y_t)
-            mets["loss"] = loss
-            mets["loss_aux"] = jnp.zeros(())
+            loss, new_cs, mets = _clf_loss_tail(clf_params, clf_stats,
+                                                x, y, key)
             return loss, (new_bn, new_cs, mets)
 
         grads, (new_bn, new_cs, mets) = jax.grad(

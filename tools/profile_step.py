@@ -11,6 +11,8 @@ its one-time server-side load, then time loops ended by a device-to-host
 value fetch — block_until_ready returns early here.
 
 Usage: python tools/profile_step.py [batch] [steps]
+       PROFILE_TASK=segmentation python tools/profile_step.py 64 10
+         (drone car-seg config: parametrized ISP -> U-Net++ -> Dice)
 """
 
 import json
@@ -50,26 +52,40 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
+    from raw2logit_tpu.data.datasets import (DRONE_CAMERA_PARAMS,
+                                             MICROSCOPY_CAMERA_PARAMS)
     from raw2logit_tpu.isp import ParametrizedProcessing
-    from raw2logit_tpu.models import resnet_model
+    from raw2logit_tpu.models import UNetPlusPlus, resnet_model
     from raw2logit_tpu.training import (TrainConfig, create_train_state,
                                         make_staged_train_step)
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    task = os.environ.get("PROFILE_TASK", "classification")
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (
+        64 if task == "segmentation" else 256)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     size = int(os.environ.get("BENCH_SIZE", 256))
 
-    processor = ParametrizedProcessing(
-        camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=size,
-        use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
-    classifier = resnet_model("resnet18", fc_out_features=9,
-                              dtype=jnp.bfloat16)
-    cfg = TrainConfig(task="classification", lr=1e-5)
-
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+    if task == "segmentation":
+        # reference drone car-seg config (train.py:218-237)
+        processor = ParametrizedProcessing(
+            camera_parameters=DRONE_CAMERA_PARAMS, image_size=size,
+            use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
+        classifier = UNetPlusPlus(
+            encoder_name="resnet34", encoder_depth=5,
+            decoder_channels=(256, 128, 64, 32, 16), in_channels=3,
+            classes=1, dtype=jnp.bfloat16)
+        y = jnp.asarray(rng.integers(0, 2, size=(batch, size, size)),
+                        jnp.float32)
+    else:
+        processor = ParametrizedProcessing(
+            camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=size,
+            use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
+        classifier = resnet_model("resnet18", fc_out_features=9,
+                                  dtype=jnp.bfloat16)
+        y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+    cfg = TrainConfig(task=task, lr=1e-5)
     # PROFILE_FUSE_OPT=1: per-module Adam applies folded into the two
     # gradient programs (no opt_apply row)
     fuse_opt = os.environ.get("PROFILE_FUSE_OPT", "0") == "1"
@@ -155,8 +171,11 @@ def main():
     print(f"TOTAL     {total * 1e3:.2f} ms  "
           f"({batch / total:.0f} imgs/s at batch {batch})")
     os.makedirs("results", exist_ok=True)
-    with open("results/profile_step.json", "w") as fh:
-        json.dump({"batch": batch, "size": size, "programs": report,
+    out_path = ("results/profile_step_seg.json" if task == "segmentation"
+                else "results/profile_step.json")
+    with open(out_path, "w") as fh:
+        json.dump({"task": task, "batch": batch, "size": size,
+                   "programs": report,
                    "total_ms": round(total * 1e3, 3)}, fh, indent=2)
 
 
