@@ -196,3 +196,20 @@ def test_manifest_cache_detects_missing_file(server, tmp_path):
                        mirror_folder="folder")
     with open(os.path.join(local, "blob.bin"), "rb") as fh:
         assert fh.read() == PAYLOAD
+
+
+def test_empty_folder_sync_never_caches_a_manifest(server, tmp_path):
+    """A folder name matching zero record files must raise (not cache an
+    empty manifest that would short-circuit every future sync)."""
+    from raw2logit_tpu.data.download import (_MANIFEST_CACHE,
+                                             download_record_folder)
+    local = str(tmp_path / "typo")
+    with pytest.raises(ValueError, match="no files"):
+        download_record_folder("no-such-folder", local,
+                               api_url=f"{server}/api")
+    assert not os.path.exists(os.path.join(local, _MANIFEST_CACHE))
+    # and the next call consults the network again rather than serving
+    # the (nonexistent) cache
+    with pytest.raises(ValueError, match="no files"):
+        download_record_folder("no-such-folder", local,
+                               api_url=f"{server}/api")

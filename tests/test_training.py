@@ -803,3 +803,17 @@ def test_fused_opt_adam_trajectory_tracks_monolith(monkeypatch):
     assert band.max() < 0.02, f"max |d loss| {band.max():.4f}"
     assert band.mean() < 0.005, f"mean |d loss| {band.mean():.4f}"
     assert abs(losses_m[-1] - losses_f[-1]) < 0.01
+
+
+def test_fuse_opt_rejects_joint_optimizer():
+    """A bare optax GradientTransformation is itself a 2-field NamedTuple;
+    fuse_opt must reject it with a clear error instead of unpacking its
+    (init, update) functions and dying at trace time."""
+    import optax
+    from raw2logit_tpu.training import make_staged_train_step
+
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+    with pytest.raises(ValueError, match="tx_proc, tx_clf"):
+        make_staged_train_step(cfg, None, classifier, optax.sgd(1e-3),
+                               donate=False, fuse_opt=True)
