@@ -72,9 +72,12 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="Microscopy",
                    choices=["Drone", "DroneSegmentation", "Microscopy",
                             "SyntheticMicroscopy", "SyntheticDrone"])
-    p.add_argument("--I_ratio", type=float, default=1.0,
+    p.add_argument("--I_ratio", "--iso", dest="I_ratio", type=float,
+                   default=1.0,
                    help="exposure-intensity variant of the dataset "
-                        "(dataset.py:217,301)")
+                        "(dataset.py:217,301); --iso accepted because the "
+                        "reference README's example commands use it "
+                        "(README.md:88 — a flag its own train.py lacks)")
     p.add_argument("--n_splits", type=int, default=1)
     p.add_argument("--train_size", type=float, default=0.8)
 
