@@ -817,3 +817,52 @@ def test_fuse_opt_rejects_joint_optimizer():
     with pytest.raises(ValueError, match="tx_proc, tx_clf"):
         make_staged_train_step(cfg, None, classifier, optax.sgd(1e-3),
                                donate=False, fuse_opt=True)
+
+
+def test_fuse_opt_segmentation_matches_plain_staged(monkeypatch):
+    """The seg micro now supports SEG_FUSE_OPT=1 (per-module optimizer
+    applies inside clf_grad_bn/isp_bwd); the fused seg step must compute
+    the same update as the unfused staged step — SGD for bitwise-tight
+    tolerances, small U-Net++ to keep the CPU mesh fast."""
+    import optax
+    from raw2logit_tpu.data import SyntheticRawSegmentation
+    from raw2logit_tpu.models import UNetPlusPlus
+    from raw2logit_tpu.training import make_staged_train_step
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    ds = SyntheticRawSegmentation(n=4, h=H, w=W, seed=9)
+    cfg = TrainConfig(task="segmentation", lr=1e-3)
+    processor = ParametrizedProcessing(
+        camera_parameters=ds.camera_parameters, image_size=H,
+        use_pallas=True)
+    classifier = UNetPlusPlus(encoder_name="resnet18", encoder_depth=3,
+                              decoder_channels=(32, 16, 8), classes=1)
+    raw = jnp.stack([jnp.asarray(ds[i][0]) for i in range(4)])
+    y = jnp.stack([jnp.asarray(ds[i][1]) for i in range(4)])
+    state, _ = create_train_state(cfg, processor, classifier, raw,
+                                  jax.random.key(0))
+
+    tx = optax.sgd(1e-3)
+    state_p = state.replace(opt_state=jax.jit(tx.init)(
+        (state.proc_params, state.clf_params)))
+    plain = make_staged_train_step(cfg, processor, classifier, tx,
+                                   donate=False)
+
+    tx_pair = (optax.sgd(1e-3), optax.sgd(1e-3))
+    state_f = state.replace(opt_state=(
+        jax.jit(tx_pair[0].init)(state.proc_params),
+        jax.jit(tx_pair[1].init)(state.clf_params)))
+    fused = make_staged_train_step(cfg, processor, classifier, tx_pair,
+                                   donate=False, fuse_opt=True)
+    assert "opt_apply" not in fused.programs
+
+    key = jax.random.key(21)
+    s_p, m_p = plain(state_p, raw, y, key)
+    s_f, m_f = fused(state_f, raw, y, key)
+    assert abs(float(m_p["loss"]) - float(m_f["loss"])) < 1e-6
+    assert abs(float(m_p["iou_score"]) - float(m_f["iou_score"])) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(
+            (s_p.proc_params, s_p.clf_params)), jax.tree_util.tree_leaves(
+            (s_f.proc_params, s_f.clf_params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)

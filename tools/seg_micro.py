@@ -49,10 +49,14 @@ def main():
     raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 2, size=(batch, size, size)),
                     jnp.float32)
+    # SEG_FUSE_OPT=1: per-module Adam applies folded into the gradient
+    # programs (no standalone opt_apply; it measured 8.7 ms at 27% HBM
+    # util for the ~500-leaf U-Net++ tree, results/profile_step_seg.json)
+    fuse_opt = os.environ.get("SEG_FUSE_OPT", "0") == "1"
     state, tx = create_train_state(cfg, processor, classifier, raw,
-                                   jax.random.key(0))
+                                   jax.random.key(0), split_opt=fuse_opt)
     step = make_staged_train_step(cfg, processor, classifier, tx,
-                                  donate=True)
+                                  donate=True, fuse_opt=fuse_opt)
     key = jax.random.key(1)
 
     s = state
@@ -84,6 +88,7 @@ def main():
     infer_dt = (time.perf_counter() - t0) / steps
 
     result = {"mode": "seg_train_staged", "batch": batch,
+              "fuse_opt": fuse_opt,
               "train_step_ms": round(train_dt * 1e3, 3),
               "train_imgs_per_sec": round(batch / train_dt, 2),
               "infer_step_ms": round(infer_dt * 1e3, 3),
@@ -102,7 +107,9 @@ def main():
                 result[f"{key}_imgs_per_sec"] / base_v, 2)
     print(json.dumps(result))
     os.makedirs("results", exist_ok=True)
-    with open("results/seg_step_tpu.json", "w") as fh:
+    path = ("results/seg_step_tpu_fuse_opt.json" if fuse_opt
+            else "results/seg_step_tpu.json")
+    with open(path, "w") as fh:
         json.dump(result, fh, indent=2)
 
 
