@@ -13,6 +13,8 @@ value fetch — block_until_ready returns early here.
 Usage: python tools/profile_step.py [batch] [steps]
        PROFILE_TASK=segmentation python tools/profile_step.py 64 10
          (drone car-seg config: parametrized ISP -> U-Net++ -> Dice)
+       PROFILE_TASK=neural python tools/profile_step.py 64 10
+         (neural_network mode: NNProcessing -> ResNet18 -> CE)
 """
 
 import json
@@ -61,12 +63,13 @@ def main():
 
     task = os.environ.get("PROFILE_TASK", "classification")
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else (
-        64 if task == "segmentation" else 256)
+        256 if task == "classification" else 64)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     size = int(os.environ.get("BENCH_SIZE", 256))
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
+    out_tag = task
     if task == "segmentation":
         # reference drone car-seg config (train.py:218-237)
         processor = ParametrizedProcessing(
@@ -78,6 +81,15 @@ def main():
             classes=1, dtype=jnp.bfloat16)
         y = jnp.asarray(rng.integers(0, 2, size=(batch, size, size)),
                         jnp.float32)
+    elif task == "neural":
+        from raw2logit_tpu.isp import NNProcessing
+        processor = NNProcessing(normalize_mosaic_mean=(0.5, 0.5, 0.5),
+                                 normalize_mosaic_std=(0.25, 0.25, 0.25))
+        classifier = resnet_model("resnet18", fc_out_features=9,
+                                  dtype=jnp.bfloat16)
+        y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+        task = "classification"  # TrainConfig task; out_tag keeps the
+        #                          processor-family name for the report
     else:
         processor = ParametrizedProcessing(
             camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=size,
@@ -171,10 +183,11 @@ def main():
     print(f"TOTAL     {total * 1e3:.2f} ms  "
           f"({batch / total:.0f} imgs/s at batch {batch})")
     os.makedirs("results", exist_ok=True)
-    out_path = ("results/profile_step_seg.json" if task == "segmentation"
-                else "results/profile_step.json")
+    out_path = {"segmentation": "results/profile_step_seg.json",
+                "neural": "results/profile_step_neural.json"}.get(
+                    out_tag, "results/profile_step.json")
     with open(out_path, "w") as fh:
-        json.dump({"task": task, "batch": batch, "size": size,
+        json.dump({"task": out_tag, "batch": batch, "size": size,
                    "programs": report,
                    "total_ms": round(total * 1e3, 3)}, fh, indent=2)
 
