@@ -345,7 +345,8 @@ def make_train_step(cfg: TrainConfig, processor, classifier, tx,
 
 
 def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
-                           donate: bool = True, fuse_opt: bool = False):
+                           donate: bool = True, fuse_opt: bool = False,
+                           isp_residuals: bool = False):
     """Compile-budget-constrained variant of make_train_step.
 
     The identical mathematical update (chain rule through ISP -> aug ->
@@ -614,6 +615,45 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
 
     isp_bwd = jax.jit(_isp_bwd_impl)
 
+    # ---- saved-residual generic path (isp_residuals=True): pass the ISP
+    # vjp residuals across the program boundary instead of recomputing
+    # the processor forward inside isp_bwd's vjp — for the NEURAL
+    # processor that recompute is 1.55 TFLOP of a 6.4 TFLOP step
+    # (results/profile_step_neural.json). jax.closure_convert turns the
+    # vjp closure into (pure_fn, consts): isp_fwd_res emits the consts,
+    # isp_bwd_res re-derives the identical pure_fn by tracing the same
+    # code (its own consts computation is dead code XLA removes) and
+    # replays it on the saved ones.
+    #
+    # MEASURED ON THE TUNNELED v5e: 287.8 ms/step vs 135.0 recompute-
+    # staged vs 108.6 monolithic (batch-64 neural family,
+    # results/nn_isp_step_tpu*.json) — the ~285 residual arrays crossing
+    # the boundary pay this backend's tiled program-output copies, which
+    # cost far more than the recompute they save. Kept as an option for
+    # backends with cheap program I/O; prefer the MONOLITH for the
+    # neural family when the compile budget allows (NN_MONOLITH in
+    # tools/nn_isp_micro.py).
+    def _vjp_conv(proc_params, proc_stats, raw, g_example):
+        def rgb_of(p):
+            return _isp(p, proc_stats, raw)[0]
+        _, vjp_fn = jax.vjp(rgb_of, proc_params)
+        return jax.closure_convert(lambda g: vjp_fn(g)[0], g_example)
+
+    def _isp_fwd_res_impl(proc_params, proc_stats, raw):
+        rgb, new_ps = _isp(proc_params, proc_stats, raw)
+        _, consts = _vjp_conv(proc_params, proc_stats, raw, rgb)
+        return rgb, new_ps, consts
+
+    isp_fwd_res = jax.jit(_isp_fwd_res_impl)
+
+    def _isp_bwd_res_impl(proc_params, proc_stats, raw, consts, d_rgb):
+        f, _ = _vjp_conv(proc_params, proc_stats, raw, d_rgb)
+        return f(d_rgb, *consts)
+
+    isp_bwd_res = jax.jit(_isp_bwd_res_impl)
+
+    isp_res = bool(isp_residuals) and not fast and processor is not None
+
     if fuse_opt:
         # ISP half of the optimizer inside the ISP backward program
         # (129 scalars' moments — negligible next to the kernel)
@@ -632,6 +672,16 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                               proc_opt):
             proc_g = _isp_bwd_impl(proc_params, proc_stats, raw, d_rgb)
             return _proc_apply(proc_params, proc_g, proc_opt)
+
+        def _isp_bwd_res_opt_impl(proc_params, proc_stats, raw, consts,
+                                  d_rgb, proc_opt):
+            proc_g = _isp_bwd_res_impl(proc_params, proc_stats, raw,
+                                       consts, d_rgb)
+            return _proc_apply(proc_params, proc_g, proc_opt)
+
+        isp_bwd_res_opt = jax.jit(
+            _isp_bwd_res_opt_impl,
+            donate_argnums=(0, 5) if donate else ())
 
         # proc_params are consumed by isp_fwd strictly earlier in the
         # step's dispatch order (isp_bwd depends on its outputs), so
@@ -664,6 +714,9 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             rgb = pre
         elif fast:
             rgb, new_ps, pre, res = isp_fwd_fast(
+                state.proc_params, state.proc_stats, raw)
+        elif isp_res:
+            rgb, new_ps, ires = isp_fwd_res(
                 state.proc_params, state.proc_stats, raw)
         else:
             rgb, new_ps = isp_fwd(state.proc_params, state.proc_stats, raw)
@@ -703,6 +756,10 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                     new_proc, new_proc_opt = isp_bwd_fast_opt(
                         state.proc_params, state.proc_stats, raw, pre,
                         res, d_rgb, proc_opt)
+                elif isp_res:
+                    new_proc, new_proc_opt = isp_bwd_res_opt(
+                        state.proc_params, state.proc_stats, raw, ires,
+                        d_rgb, proc_opt)
                 else:
                     new_proc, new_proc_opt = isp_bwd_opt(
                         state.proc_params, state.proc_stats, raw, d_rgb,
@@ -716,6 +773,10 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
                     proc_g = isp_bwd_fast(state.proc_params,
                                           state.proc_stats,
                                           raw, pre, res, d_rgb)
+                elif isp_res:
+                    proc_g = isp_bwd_res(state.proc_params,
+                                         state.proc_stats,
+                                         raw, ires, d_rgb)
                 else:
                     proc_g = isp_bwd(state.proc_params, state.proc_stats,
                                      raw, d_rgb)
@@ -743,6 +804,11 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             # the variant step() uses when the state carries BN stats
             step.programs["clf_grad_bn"] = (clf_grad_bn_opt if fuse_opt
                                             else clf_grad_bn)
+    elif isp_res:
+        step.programs = {
+            "isp_fwd": isp_fwd_res,
+            "clf_grad": clf_grad_opt if fuse_opt else clf_grad,
+            "isp_bwd": isp_bwd_res_opt if fuse_opt else isp_bwd_res}
     else:
         step.programs = {
             "isp_fwd": isp_fwd,
@@ -753,6 +819,7 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
     if aux_fn is not None:
         step.programs["aux_grad"] = aux_grad
     step.fuse_opt = fuse_opt
+    step.isp_residuals = isp_res
 
     def cost_entries(state, raw, y, key):
         """(program, example_args) pairs covering the step's compute —
@@ -781,6 +848,19 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             ents.append((isp_bwd_fast_opt if fuse_opt else isp_bwd_fast,
                          (state.proc_params, state.proc_stats, raw, rgb0,
                           res0, rgb0) + proc_tail))
+        elif isp_res:
+            ents.append((isp_fwd_res,
+                         (state.proc_params, state.proc_stats, raw)))
+            shapes = jax.eval_shape(_isp_fwd_res_impl, state.proc_params,
+                                    state.proc_stats, raw)
+            ires0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes[2])
+            # d_rgb matches the processor's actual output shape (e.g.
+            # NNProcessing emits half-resolution RGB), not raw+(3,)
+            d0 = jnp.zeros(shapes[0].shape, shapes[0].dtype)
+            ents.append((isp_bwd_res_opt if fuse_opt else isp_bwd_res,
+                         (state.proc_params, state.proc_stats, raw, ires0,
+                          d0) + proc_tail))
         elif processor is not None:
             ents.append((isp_fwd,
                          (state.proc_params, state.proc_stats, raw)))

@@ -866,3 +866,45 @@ def test_fuse_opt_segmentation_matches_plain_staged(monkeypatch):
             (s_f.proc_params, s_f.clf_params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_isp_residuals_staged_matches_recompute():
+    """isp_residuals=True passes the ISP vjp residuals across the staged
+    program boundary (no forward recompute in isp_bwd); the gradients
+    must match the recompute path to float-reassociation level, and the
+    losses bitwise (same forward program)."""
+    from raw2logit_tpu.isp import NNProcessing
+    from raw2logit_tpu.training import make_staged_train_step
+
+    cfg = TrainConfig(task="classification", lr=1e-3)
+    proc = NNProcessing(normalize_mosaic_mean=(0.5, 0.5, 0.5),
+                        normalize_mosaic_std=(0.25, 0.25, 0.25))
+    clf = resnet_model("resnet18", fc_out_features=2)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.uniform(size=(2, 64, 64)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, size=(2,)), jnp.int32)
+    state, tx = create_train_state(cfg, proc, clf, raw, jax.random.key(0))
+    plain = make_staged_train_step(cfg, proc, clf, tx, donate=False)
+    res = make_staged_train_step(cfg, proc, clf, tx, donate=False,
+                                 isp_residuals=True)
+    assert res.isp_residuals and not plain.isp_residuals
+
+    k = jax.random.key(5)
+    rgb, _, ires = res.programs["isp_fwd"](state.proc_params,
+                                           state.proc_stats, raw)
+    _, d_rgb, _, m = plain.programs["clf_grad"](state.clf_params,
+                                                state.clf_stats, rgb, y, k)
+    g_plain = plain.programs["isp_bwd"](state.proc_params,
+                                        state.proc_stats, raw, d_rgb)
+    g_res = res.programs["isp_bwd"](state.proc_params, state.proc_stats,
+                                    raw, ires, d_rgb)
+    la = jax.tree_util.tree_leaves(g_plain)
+    lb = jax.tree_util.tree_leaves(g_res)
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in la)
+    dmax = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(la, lb))
+    assert dmax / gmax < 1e-5, (dmax, gmax)
+
+    # full-step losses bitwise equal (identical forward program)
+    s1, m1 = plain(state, raw, y, k)
+    s2, m2 = res(state, raw, y, k)
+    assert float(m1["loss"]) == float(m2["loss"])

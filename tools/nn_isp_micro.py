@@ -48,10 +48,25 @@ def main():
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(batch, size, size)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
+    # NN_MONOLITH=1: one jitted program instead of the staged split. The
+    # staged isp_bwd RECOMPUTES the U-Net++ ISP forward inside its vjp
+    # (+1.55 TFLOP of the step's 6.4, results/profile_step_neural.json);
+    # the monolith keeps the forward's activations instead.
+    monolith = os.environ.get("NN_MONOLITH", "0") == "1"
+    # NN_RESIDUALS=1: staged split WITHOUT the recompute — the ISP vjp
+    # residuals cross the program boundary (make_staged_train_step
+    # isp_residuals=True)
+    residuals = os.environ.get("NN_RESIDUALS", "0") == "1"
     state, tx = create_train_state(cfg, processor, classifier, raw,
                                    jax.random.key(0))
-    step = make_staged_train_step(cfg, processor, classifier, tx,
-                                  donate=True)
+    if monolith:
+        from raw2logit_tpu.training import make_train_step
+        step = make_train_step(cfg, processor, classifier, tx,
+                               donate=True)
+    else:
+        step = make_staged_train_step(cfg, processor, classifier, tx,
+                                      donate=True,
+                                      isp_residuals=residuals)
     key = jax.random.key(1)
 
     s = state
@@ -81,7 +96,11 @@ def main():
     assert np.isfinite(float(out[0, 0]))
     infer_dt = (time.perf_counter() - t0) / steps
 
-    result = {"mode": "nn_isp_train_staged", "batch": batch,
+    mode = ("nn_isp_train_monolith" if monolith else
+            "nn_isp_train_staged_res" if residuals else
+            "nn_isp_train_staged")
+    result = {"mode": mode,
+              "batch": batch,
               "train_step_ms": round(train_dt * 1e3, 3),
               "train_imgs_per_sec": round(batch / train_dt, 2),
               "infer_step_ms": round(infer_dt * 1e3, 3),
@@ -100,7 +119,10 @@ def main():
                 result[f"{key}_imgs_per_sec"] / base_v, 2)
     print(json.dumps(result))
     os.makedirs("results", exist_ok=True)
-    with open("results/nn_isp_step_tpu.json", "w") as fh:
+    path = ("results/nn_isp_step_tpu_monolith.json" if monolith else
+            "results/nn_isp_step_tpu_res.json" if residuals else
+            "results/nn_isp_step_tpu.json")
+    with open(path, "w") as fh:
         json.dump(result, fh, indent=2)
 
 
