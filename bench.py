@@ -38,8 +38,9 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
                                         make_staged_train_step,
                                         make_train_step)
 
-    # batch 256 saturates the chip (measured: 2216 imgs/s @64, 3157 @256,
-    # 3143 @512 — 21.6% MFU at the plateau)
+    # batch 256 saturates the chip (round-2 kernels: 2216 imgs/s @64,
+    # 3157 @256, 3143 @512; round-3 dieted kernels: 4200 @256,
+    # 4218 @512 — the plateau holds at 28.7-28.8% MFU)
     batch = batch or int(os.environ.get("BENCH_BATCH", 256))
     image_size = image_size or int(os.environ.get("BENCH_SIZE", 256))
     steps = steps or int(os.environ.get("BENCH_STEPS", 20))
