@@ -908,3 +908,27 @@ def test_isp_residuals_staged_matches_recompute():
     s1, m1 = plain(state, raw, y, k)
     s2, m2 = res(state, raw, y, k)
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_multi_device_dp_neural_isp():
+    """DP over the 8-device mesh for the NEURAL-ISP processor family
+    (processing_mode=neural_network): the U-Net++ ISP's batch axis is
+    sharded alongside the raws and the gradient all-reduce covers both
+    the processor and the classifier trees."""
+    from raw2logit_tpu.isp import NNProcessing
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = TrainConfig(task="classification", lr=1e-3, augmentation="weak")
+    proc = NNProcessing(normalize_mosaic_mean=(0.5, 0.5, 0.5),
+                        normalize_mosaic_std=(0.25, 0.25, 0.25))
+    clf = resnet_model("resnet18", fc_out_features=2)
+    rng = np.random.default_rng(11)
+    raw = rng.uniform(size=(8, 64, 64)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8,)).astype(np.int32)
+    state, tx = create_train_state(cfg, proc, clf, jnp.asarray(raw),
+                                   jax.random.key(0))
+    step = make_train_step(cfg, proc, clf, tx, donate=False)
+    raw_s, y_s = shard_batch(mesh, (raw, y))
+    s2, m = step(state, raw_s, y_s, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(s2.step) == 1
