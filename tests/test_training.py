@@ -932,3 +932,24 @@ def test_multi_device_dp_neural_isp():
     s2, m = step(state, raw_s, y_s, jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
     assert int(s2.step) == 1
+
+
+def test_run_train_precondition_asserts():
+    """The CLI guards mirror the reference's adv-training preconditions
+    (train.py:229,243-245): frozen-everything and adv-without-frozen-
+    classifier must fail fast with clear messages."""
+    from raw2logit_tpu.training.train import build_parser, run_train
+
+    base = ["--dataset", "SyntheticMicroscopy", "--epochs", "1",
+            "--batch_size", "4", "--n_splits", "1", "--test_run",
+            "--experiment_name", "guards", "--run_name", "g"]
+    with pytest.raises(AssertionError, match="no parameters"):
+        run_train(build_parser().parse_args(
+            base + ["--freeze_processor", "--freeze_classifier"]))
+    with pytest.raises(AssertionError, match="frozen for adversarial"):
+        run_train(build_parser().parse_args(
+            base + ["--adv_training", "--processing_mode", "parametrized"]))
+    with pytest.raises(AssertionError, match="parametrized"):
+        run_train(build_parser().parse_args(
+            base + ["--adv_training", "--processing_mode", "static",
+                    "--freeze_classifier"]))
