@@ -13,11 +13,11 @@ from raw2logit_tpu.data.datasets import (DATASET_STATS, DRONE_CAMERA_PARAMS,
                                          get_dataset, list_images_in_dir,
                                          load_image)
 from raw2logit_tpu.data.kfold import k_fold
-from raw2logit_tpu.data.loader import Loader
+from raw2logit_tpu.data.loader import ArrayDataset, Loader, make_dataloader
 
 __all__ = [
     "DATASET_STATS", "DRONE_CAMERA_PARAMS", "MICROSCOPY_CAMERA_PARAMS",
     "MultiIntensity", "Subset", "SyntheticRawClassification",
     "SyntheticRawSegmentation", "get_dataset", "list_images_in_dir",
-    "load_image", "k_fold", "Loader",
+    "load_image", "k_fold", "ArrayDataset", "Loader", "make_dataloader",
 ]

@@ -14,6 +14,7 @@ so synthetic raws can be materialized in the on-disk dataset format.
 """
 
 import struct
+from fractions import Fraction
 
 import numpy as np
 
@@ -29,6 +30,9 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
 _TAG_SUB_IFDS = 330
+_TAG_COLOR_MATRIX1 = 50721
+_TAG_AS_SHOT_NEUTRAL = 50728
+_TAG_BLACK_LEVEL = 50714
 _TAG_ACTIVE_AREA = 50829
 
 _PHOTOMETRIC_CFA = 32803  # DNG: color-filter-array raw
@@ -37,6 +41,8 @@ _PHOTOMETRIC_CFA = 32803  # DNG: color-filter-array raw
 # the type DNG/TIFF-EP permits for SubIFDs alongside plain LONG)
 _TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 13: ("I", 4),
           16: ("Q", 8)}
+# (S)RATIONAL: two 4-byte ints per value, folded to a float num/den
+_RATIONALS = {5: "I", 10: "i"}
 
 
 def _read_ifd(buf, order, offset):
@@ -55,6 +61,12 @@ def _read_ifd(buf, order, offset):
                 (val_off,) = struct.unpack_from(order + "I", buf, pos + 8)
                 vals = struct.unpack_from(order + ch * count, buf, val_off)
             entries[tag] = list(vals)
+        elif ftype in _RATIONALS:
+            ch = _RATIONALS[ftype]
+            (val_off,) = struct.unpack_from(order + "I", buf, pos + 8)
+            raw = struct.unpack_from(order + ch * 2 * count, buf, val_off)
+            entries[tag] = [n / d if d else float("nan")
+                            for n, d in zip(raw[::2], raw[1::2])]
         pos += 12
     (next_off,) = struct.unpack_from(order + "I", buf, pos)
     return entries, next_off
@@ -76,12 +88,8 @@ def _all_ifds(buf, order, first_offset):
     return ifds
 
 
-def read_dng(path):
-    """Read an uncompressed CFA raw from a DNG/TIFF file.
-
-    Returns the ActiveArea-cropped sensor plane as a (H, W) uint8/uint16
-    array — the analog of rawpy's ``raw_image_visible``.
-    """
+def _parse(path):
+    """Read + validate a TIFF/DNG file -> (buf, order, ifds)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if len(buf) < 8 or buf[:2] not in (b"II", b"MM"):
@@ -93,13 +101,15 @@ def read_dng(path):
     if magic != 42:
         raise ValueError(f"{path}: bad TIFF magic {magic} (byte-order ok, "
                          "but this is not a baseline TIFF)")
-
     ifds = _all_ifds(buf, order, first_off)
     if not ifds:
         raise ValueError(f"{path}: no IFDs found")
+    return buf, order, ifds
 
-    # prefer the CFA IFD; else a full-resolution (NewSubfileType==0) one;
-    # else the first with image strips
+
+def _pick_raw_ifd(ifds):
+    """Prefer the CFA IFD; else a full-resolution (NewSubfileType==0) one;
+    else the first with image strips."""
     def score(ifd):
         if ifd.get(_TAG_PHOTOMETRIC, [None])[0] == _PHOTOMETRIC_CFA:
             return 2
@@ -108,7 +118,17 @@ def read_dng(path):
             return 1
         return 0 if _TAG_STRIP_OFFSETS in ifd else -1
 
-    ifd = max(ifds, key=score)
+    return max(ifds, key=score)
+
+
+def read_dng(path):
+    """Read an uncompressed CFA raw from a DNG/TIFF file.
+
+    Returns the ActiveArea-cropped sensor plane as a (H, W) uint8/uint16
+    array — the analog of rawpy's ``raw_image_visible``.
+    """
+    buf, order, ifds = _parse(path)
+    ifd = _pick_raw_ifd(ifds)
     if _TAG_STRIP_OFFSETS not in ifd:
         raise ValueError(f"{path}: no raw image strips in any IFD")
 
@@ -165,10 +185,59 @@ def read_dng(path):
     return img
 
 
+def get_camera_parameters(path):
+    """Extract (black_level, white_balance, colour_matrix) from a DNG.
+
+    The analog of the reference's ``get_camera_parameters(rawpyImg)``
+    (reference processing/pipeline_numpy.py:144-149), reading the DNG tags
+    directly instead of going through LibRaw's derived fields:
+
+    - ``black_level``: the BlackLevel tag (50714), broadcast to the four
+      RGGB sites (rawpy's ``black_level_per_channel``).
+    - ``white_balance``: per-channel multipliers from AsShotNeutral
+      (50728), ``1/neutral`` normalized to green == 1 — LibRaw's
+      ``camera_whitebalance[:3]`` up to its scale convention.
+    - ``colour_matrix``: the 9 ColorMatrix1 (50721) values row-major
+      (rawpy's ``color_matrix[:, :3].flatten()``; note LibRaw may return
+      a profile-adapted matrix where this returns the tag as written).
+
+    Raises ValueError naming whichever tags the file lacks.
+    """
+    _, _, ifds = _parse(path)
+    ifd = _pick_raw_ifd(ifds)
+    missing = [name for name, tag in (("BlackLevel", _TAG_BLACK_LEVEL),
+                                      ("AsShotNeutral", _TAG_AS_SHOT_NEUTRAL),
+                                      ("ColorMatrix1", _TAG_COLOR_MATRIX1))
+               if tag not in ifd]
+    if missing:
+        raise ValueError(f"{path}: no camera parameters — missing DNG "
+                         f"tag(s): {', '.join(missing)}")
+    bl = ifd[_TAG_BLACK_LEVEL]
+    black_level = list(bl) * 4 if len(bl) == 1 else list(bl[:4])
+    neutral = ifd[_TAG_AS_SHOT_NEUTRAL][:3]
+    if len(neutral) != 3 or any(n <= 0 for n in neutral):
+        raise ValueError(f"{path}: bad AsShotNeutral {neutral}")
+    white_balance = [neutral[1] / n for n in neutral]
+    cm = ifd[_TAG_COLOR_MATRIX1]
+    if len(cm) < 9:
+        raise ValueError(f"{path}: ColorMatrix1 has {len(cm)} values, "
+                         "expected 9 (3x3 row-major)")
+    return black_level, white_balance, cm[:9]
+
+
 def _pack_entries(order, entries, heap, heap_base):
     """Serialize IFD entries; big values go to the heap."""
     out = struct.pack(order + "H", len(entries))
     for tag, ftype, vals in sorted(entries):
+        if ftype in _RATIONALS:  # floats -> num/den pairs, always on heap
+            ch = _RATIONALS[ftype]
+            out += struct.pack(order + "HHI", tag, ftype, len(vals))
+            out += struct.pack(order + "I", heap_base + len(heap))
+            for v in vals:
+                f = Fraction(v).limit_denominator(65536)
+                heap += struct.pack(order + ch * 2, f.numerator,
+                                    f.denominator)
+            continue
         ch, size = _TYPES[ftype]
         total = size * len(vals)
         out += struct.pack(order + "HHI", tag, ftype, len(vals))
@@ -182,7 +251,8 @@ def _pack_entries(order, entries, heap, heap_base):
 
 def write_dng(path, img, rows_per_strip=None, active_area=None,
               compression=1, big_endian=False, use_subifd=False,
-              subifd_type=4, omit_byte_counts=False):
+              subifd_type=4, omit_byte_counts=False,
+              camera_parameters=None):
     """Write a minimal uncompressed CFA DNG (testing/synthesis aid).
 
     Args:
@@ -193,6 +263,10 @@ def write_dng(path, img, rows_per_strip=None, active_area=None,
             file the reader must reject (used to test the raise path).
         use_subifd: park the raw IFD under a SubIFDs tag of a stub IFD0,
             as real DNGs do.
+        camera_parameters: optional (black_level[4], white_balance[3],
+            colour_matrix[9]) recorded as BlackLevel / AsShotNeutral
+            (1/wb, G-normalized) / ColorMatrix1 tags, round-tripping
+            through get_camera_parameters.
     """
     img = np.ascontiguousarray(img)
     if img.dtype not in (np.uint8, np.uint16):
@@ -230,6 +304,17 @@ def write_dng(path, img, rows_per_strip=None, active_area=None,
         raw_entries.append((_TAG_STRIP_BYTE_COUNTS, 4, strip_counts))
     if active_area is not None:
         raw_entries.append((_TAG_ACTIVE_AREA, 4, list(active_area)))
+    if camera_parameters is not None:
+        black_level, white_balance, colour_matrix = camera_parameters
+        if len(white_balance) != 3 or any(v <= 0 for v in white_balance):
+            raise ValueError(f"bad white_balance {white_balance}")
+        g = white_balance[1]
+        raw_entries.append((_TAG_BLACK_LEVEL, 5,
+                            [float(v) for v in black_level]))
+        raw_entries.append((_TAG_AS_SHOT_NEUTRAL, 5,
+                            [g / float(v) for v in white_balance]))
+        raw_entries.append((_TAG_COLOR_MATRIX1, 10,
+                            [float(v) for v in colour_matrix]))
 
     heap_base = pos
     # two passes: first to size the heap, then with final IFD offsets

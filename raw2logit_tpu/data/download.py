@@ -107,6 +107,44 @@ def zenodo_file_list(api_url=ZENODO_API, timeout=60):
     return files
 
 
+class _RecordBucket:
+    """Read-only stand-in for the reference's B2 bucket handle.
+
+    ``get_b2_bucket`` (reference utils/base.py:123-133) authenticates
+    against the private 'perturbed-minds' bucket; here the public Zenodo
+    record plays that role, and this object keeps the one bucket method the
+    reference uses, ``ls`` (utils/base.py:117-120), yielding objects with a
+    ``file_name`` attribute."""
+
+    class _FileInfo:
+        def __init__(self, name):
+            self.file_name = name
+
+    def __init__(self, api_url=ZENODO_API, timeout=60):
+        self._files = zenodo_file_list(api_url, timeout=timeout)
+
+    def ls(self, folder="", show_versions=False):
+        for f in self._files:
+            name = f["name"] or ""
+            if name.startswith(folder):
+                yield self._FileInfo(name), None
+
+
+def get_b2_bucket(api_url=ZENODO_API, timeout=60):
+    """Reference-surface alias: a listable handle on the dataset store."""
+    return _RecordBucket(api_url, timeout=timeout)
+
+
+def b2_list_files(folder="", api_url=ZENODO_API, timeout=60):
+    """Print (and return) the record files under ``folder`` — the
+    reference's ``b2_list_files`` (utils/base.py:117-120)."""
+    names = []
+    for file_info, _ in get_b2_bucket(api_url, timeout=timeout).ls(folder):
+        print(file_info.file_name)
+        names.append(file_info.file_name)
+    return names
+
+
 _MANIFEST_CACHE = ".zenodo_manifest.json"
 
 

@@ -17,6 +17,33 @@ import threading
 import numpy as np
 
 
+class ArrayDataset:
+    """Indexable (img, label) view over a pair of stacked arrays."""
+
+    def __init__(self, X, Y):
+        self.X = np.asarray(X)
+        self.Y = np.asarray(Y)
+        if len(self.X) != len(self.Y):
+            raise ValueError(f"X/Y length mismatch: "
+                             f"{len(self.X)} != {len(self.Y)}")
+
+    def __len__(self):
+        return len(self.X)
+
+    def __getitem__(self, i):
+        return self.X[i], self.Y[i]
+
+
+def make_dataloader(dataset, batch_size, shuffle=True, **kw):
+    """Batch loader over an ``(X, Y)`` array pair — the reference's
+    ``make_dataloader`` (dataset.py:551-560, TensorDataset + DataLoader).
+    Arrays stay in this framework's native layout (NHWC, not the
+    reference's np2torch CHW); extra kwargs pass through to Loader
+    (seed/mesh/prefetch/drop_last)."""
+    X, Y = dataset
+    return Loader(ArrayDataset(X, Y), batch_size, shuffle=shuffle, **kw)
+
+
 class Loader:
     """Iterate (images, labels) batches over a dataset or TileStore.
 

@@ -109,3 +109,56 @@ def test_big_endian_roundtrip(tmp_path):
     path = str(tmp_path / "raw.dng")
     write_dng(path, img, big_endian=True)
     np.testing.assert_array_equal(read_dng(path), img)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_camera_parameters_roundtrip(tmp_path, big_endian):
+    """get_camera_parameters extracts BlackLevel / AsShotNeutral /
+    ColorMatrix1 with the reference's return contract (reference
+    processing/pipeline_numpy.py:144-149)."""
+    from raw2logit_tpu.data.dng import get_camera_parameters
+
+    bl = [528.0, 528.0, 528.0, 528.0]
+    wb = [2.0, 1.0, 1.5]
+    cm = [1.06, -0.25, 0.19, -0.05, 1.22, -0.17, 0.02, -0.31, 1.29]
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic(), big_endian=big_endian,
+              camera_parameters=(bl, wb, cm))
+    got_bl, got_wb, got_cm = get_camera_parameters(path)
+    np.testing.assert_allclose(got_bl, bl, rtol=2e-5)
+    np.testing.assert_allclose(got_wb, wb, rtol=2e-5)
+    np.testing.assert_allclose(got_cm, cm, rtol=2e-5)
+
+
+def test_camera_parameters_scalar_black_level_broadcasts(tmp_path):
+    from raw2logit_tpu.data.dng import get_camera_parameters
+
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic(),
+              camera_parameters=([9.25], [1.0, 1.0, 1.0],
+                                 [1, 0, 0, 0, 1, 0, 0, 0, 1]))
+    bl, wb, cm = get_camera_parameters(path)
+    np.testing.assert_allclose(bl, [9.25] * 4)
+    np.testing.assert_allclose(wb, [1.0, 1.0, 1.0])
+
+
+def test_camera_parameters_missing_tags_named(tmp_path):
+    from raw2logit_tpu.data.dng import get_camera_parameters
+
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic())  # no camera tags
+    with pytest.raises(ValueError, match="BlackLevel.*AsShotNeutral"):
+        get_camera_parameters(path)
+
+
+def test_camera_parameters_survive_subifd_and_crop(tmp_path):
+    """Tags live on the CFA IFD — the same IFD selection as read_dng."""
+    from raw2logit_tpu.data.dng import get_camera_parameters
+
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic(), use_subifd=True, active_area=(0, 0, 16, 16),
+              camera_parameters=([100, 101, 102, 103], [1.9, 1.0, 1.4],
+                                 [1, 0, 0, 0, 1, 0, 0, 0, 1]))
+    bl, wb, _ = get_camera_parameters(path)
+    np.testing.assert_allclose(bl, [100, 101, 102, 103])
+    np.testing.assert_allclose(wb, [1.9, 1.0, 1.4], rtol=2e-5)

@@ -110,6 +110,21 @@ def test_b2_download_folder_offline_raises(tmp_path):
         b2_download_folder("drone/images", str(tmp_path / "nope"))
 
 
+def test_b2_list_files_and_bucket_ls(server, capsys):
+    """Reference L0 surface (utils/base.py:117-133): get_b2_bucket().ls()
+    yields (file_info, _) with .file_name; b2_list_files prints names."""
+    from raw2logit_tpu.data.download import b2_list_files, get_b2_bucket
+
+    names = b2_list_files("folder", api_url=f"{server}/api2")
+    assert names == ["folder/blob.bin", "folder/blob2.bin"]
+    assert "folder/blob.bin" in capsys.readouterr().out
+
+    bucket = get_b2_bucket(api_url=f"{server}/api2")
+    assert [fi.file_name for fi, _ in bucket.ls("folder/blob2")] == \
+        ["folder/blob2.bin"]
+    assert list(bucket.ls("elsewhere")) == []
+
+
 def test_unzip_all(tmp_path):
     import zipfile
     with zipfile.ZipFile(tmp_path / "a.zip", "w") as zf:

@@ -91,3 +91,29 @@ def test_get_statistics_with_transform():
     data = [(np.full((4, 4, 3), i, np.float32), 0) for i in range(3)]
     mean, _ = get_statistics(data, [0, 1, 2], transform=lambda x: x + 1)
     np.testing.assert_allclose(mean, [2.0, 2.0, 2.0])
+
+
+def test_make_dataloader_over_array_pair():
+    """Reference dataset.py:551-560 surface: (X, Y) arrays -> batch
+    iterator; NHWC-native here (no np2torch CHW flip)."""
+    from raw2logit_tpu.data import make_dataloader
+
+    X = np.arange(10 * 4 * 4 * 3, dtype=np.float32).reshape(10, 4, 4, 3)
+    Y = np.arange(10)
+    batches = list(make_dataloader((X, Y), batch_size=4, shuffle=False,
+                                   prefetch=False))
+    assert len(batches) == 3  # shuffle=False keeps the ragged tail
+    xs, ys = batches[0]
+    assert xs.shape == (4, 4, 4, 3)
+    np.testing.assert_array_equal(ys, Y[:4])
+    np.testing.assert_array_equal(batches[2][0], X[8:])
+
+    # shuffled: every item exactly once over the epoch (full batches only)
+    xs_all = np.concatenate([b[0] for b in
+                             make_dataloader((X, Y), batch_size=5, seed=3,
+                                             prefetch=False)])
+    assert xs_all.shape == X.shape
+    np.testing.assert_array_equal(np.sort(xs_all.ravel()), X.ravel())
+
+    with pytest.raises(ValueError, match="mismatch"):
+        make_dataloader((X, Y[:5]), batch_size=4)
