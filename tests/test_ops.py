@@ -1,6 +1,7 @@
 """Golden tests: jnp ISP ops vs independent scipy/numpy implementations."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 from scipy import ndimage
@@ -176,6 +177,21 @@ def test_ssim_basics(rng):
     per_img = np.asarray(ssim(jnp.asarray(img), jnp.asarray(noisy),
                               size_average=False))
     assert per_img.shape == (2,)
+
+
+def test_ssim_separable_matches_dense(rng):
+    """The default separable window factorization (11x1 then 1x11) is the
+    outer-product identity of the reference's 2-D window (utils/ssim.py:
+    9-16) — values AND gradients match the dense form to reassociation
+    noise, including at the zero-padded borders."""
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    s_sep, g_sep = jax.value_and_grad(lambda x: ssim(a, x))(b)
+    s_dense, g_dense = jax.value_and_grad(
+        lambda x: ssim(a, x, separable=False))(b)
+    np.testing.assert_allclose(float(s_sep), float(s_dense), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sep), np.asarray(g_dense),
+                               atol=1e-6)
 
 
 def test_tv_chambolle_denoises(rng):
