@@ -271,11 +271,18 @@ class DroneDatasetClassificationTiled(FolderClassification):
                                         data_root=data_root)
         self.classes = ["car", "no car"]
         self.df = pd.read_csv(df_path)
-        images = [os.path.join(img_dir, f"{name}.tif")
-                  for name in self.df["file name"]]
-        labels = [int(v) for v in self.df["label"]]
+        images, labels = read_label_csv(self.df)
+        images = [os.path.join(img_dir, name) for name in images]
         super().__init__(images=images, labels=labels, bits=16)
         self.img_dir = img_dir
+
+
+def read_label_csv(df):
+    """CSV manifest rows -> (tile file names with .tif, int labels)
+    (reference dataset.py:372-381, same 'file name'/'label' columns)."""
+    images = [f"{name}.tif" for name in df["file name"]]
+    labels = [int(v) for v in df["label"]]
+    return images, labels
 
 
 def binary_class_detection(X, Y, random_seed, thr):

@@ -156,6 +156,17 @@ def find_run(experiment_name, run_name, root="results/runs"):
     return Run(experiment_name, run_name, root=root)
 
 
+def list_runs(experiment_name, root="results/runs"):
+    """All run names recorded under an experiment, sorted (the local
+    equivalent of fetch_runs_list_mlflow, utils/base.py:243-246 —
+    mlflow.search_runs over the experiment id)."""
+    d = os.path.join(root, _safe(experiment_name))
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"experiment not found: {d}")
+    return sorted(name for name in os.listdir(d)
+                  if os.path.isdir(os.path.join(d, name)))
+
+
 def get_model_by_name(experiment_name, run_name, root="results/runs",
                       fold=0):
     """Locate a run's per-component checkpoints + state dict by names

@@ -42,6 +42,11 @@ def hwc_to_chw(x):
     return x
 
 
+def get_name(obj):
+    """Readable name of a function/class/instance (utils/base.py:186-187)."""
+    return obj.__name__ if hasattr(obj, "__name__") else type(obj).__name__
+
+
 def set_random_seed(seed):
     """Host-side seeding (numpy); device randomness uses explicit jax keys
     (utils/base.py:74-82 analog)."""

@@ -98,6 +98,18 @@ def test_get_model_by_name(tmp_path):
     assert ckpts["processor"] is None
 
 
+def test_list_runs(tmp_path):
+    """fetch_runs_list_mlflow analog (utils/base.py:243-246): enumerate an
+    experiment's recorded runs."""
+    from raw2logit_tpu.tracking import list_runs
+    import pytest
+    Run("exp-l", "r_b", root=str(tmp_path)).close()
+    Run("exp-l", "r_a", root=str(tmp_path)).close()
+    assert list_runs("exp-l", root=str(tmp_path)) == ["r_a", "r_b"]
+    with pytest.raises(FileNotFoundError, match="experiment not found"):
+        list_runs("nope", root=str(tmp_path))
+
+
 def test_show_img(tmp_path, rng):
     from raw2logit_tpu.evaluation.figures import show_img
     out = show_img(rng.uniform(size=(32, 32, 3)),

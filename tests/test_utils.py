@@ -93,6 +93,33 @@ def test_get_statistics_with_transform():
     np.testing.assert_allclose(mean, [2.0, 2.0, 2.0])
 
 
+def test_get_name():
+    from raw2logit_tpu.utils import get_name
+
+    def my_fn():
+        pass
+
+    class Thing:
+        pass
+
+    assert get_name(my_fn) == "my_fn"
+    assert get_name(Thing) == "Thing"
+    assert get_name(Thing()) == "Thing"
+
+
+def test_read_label_csv():
+    """Reference dataset.py:372-381 contract: 'file name'/'label' columns
+    -> .tif names + int labels."""
+    import pandas as pd
+    from raw2logit_tpu.data.datasets import read_label_csv
+
+    df = pd.DataFrame({"file name": ["00_00001", "00_00002"],
+                       "label": ["1", 0]})
+    images, labels = read_label_csv(df)
+    assert images == ["00_00001.tif", "00_00002.tif"]
+    assert labels == [1, 0]
+
+
 def test_make_dataloader_over_array_pair():
     """Reference dataset.py:551-560 surface: (X, Y) arrays -> batch
     iterator; NHWC-native here (no np2torch CHW flip)."""
