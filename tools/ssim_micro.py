@@ -58,6 +58,34 @@ def main():
                         "value_and_grad_ms": round(t_vg * 1e3, 3)}
         print(name, json.dumps(report[name]), flush=True)
 
+    # channel-stacked separable form: the five conv operands concatenated
+    # to one C=15 depthwise conv pair (5x the lane occupancy of five C=3
+    # convs; numerically identical — depthwise is per-channel)
+    from raw2logit_tpu.ops.ssim import _depthwise, _gauss_np
+
+    def ssim_stacked(img1, img2):
+        g = _gauss_np(11)
+        s = jnp.concatenate([img1, img2, img1 * img1, img2 * img2,
+                             img1 * img2], axis=-1)
+        s = _depthwise(_depthwise(s, g[:, None]), g[None, :])
+        c = img1.shape[-1]
+        mu1, mu2, m11, m22, m12 = (s[..., i * c:(i + 1) * c]
+                                   for i in range(5))
+        mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1_mu2 + c1) * (2 * (m12 - mu1_mu2) + c2)) / (
+            (mu1_sq + mu2_sq + c1) * ((m11 - mu1_sq) + (m22 - mu2_sq) + c2))
+        return jnp.mean(m)
+
+    fwd_s = jax.jit(ssim_stacked)
+    vg_s = jax.jit(lambda x, y: jax.value_and_grad(
+        lambda yy: ssim_stacked(x, yy))(y))
+    report["stacked"] = {
+        "fwd_ms": round(time_fn(fwd_s, (a, b), steps, float) * 1e3, 3),
+        "value_and_grad_ms": round(time_fn(
+            vg_s, (a, b), steps, lambda o: float(o[0])) * 1e3, 3)}
+    print("stacked", json.dumps(report["stacked"]), flush=True)
+
     # cross-check the two forms agree on-chip too
     s_sep = float(jax.jit(lambda x, y: ssim(x, y))(a, b))
     s_dense = float(jax.jit(lambda x, y: ssim(x, y, separable=False))(a, b))
