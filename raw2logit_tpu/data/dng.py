@@ -52,6 +52,15 @@ def _read_ifd(buf, order, offset):
     pos = offset + 2
     for _ in range(n_entries):
         tag, ftype, count = struct.unpack_from(order + "HHI", buf, pos)
+        # a value array can never outsize the file; a corrupt count would
+        # otherwise build a giant struct format string before any bounds
+        # check fires (same guard spirit as the tilestore header check)
+        if ftype in _TYPES or ftype in _RATIONALS:
+            size = _TYPES[ftype][1] if ftype in _TYPES else 8
+            if size * count > len(buf):
+                raise ValueError(
+                    f"IFD entry tag {tag}: {count} values of {size} bytes "
+                    f"exceed the {len(buf)}-byte file")
         if ftype in _TYPES:
             ch, size = _TYPES[ftype]
             total = size * count

@@ -111,6 +111,52 @@ def test_big_endian_roundtrip(tmp_path):
     np.testing.assert_array_equal(read_dng(path), img)
 
 
+def test_fuzz_truncation_and_corruption_never_hang_or_crash(tmp_path):
+    """The hand-written TIFF parser must fail CLEANLY on malformed input:
+    truncations and byte flips either still parse (don't-care bytes /
+    legitimately changed values) or raise ValueError/struct.error — never
+    any other exception, never a giant allocation from a corrupt count
+    (the format string for a value array is built only after a
+    bounds-vs-file-size check)."""
+    import struct
+
+    from raw2logit_tpu.data.dng import get_camera_parameters
+
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic(), use_subifd=True, active_area=(0, 0, 16, 16),
+              rows_per_strip=4,
+              camera_parameters=([8.0] * 4, [1.9, 1.0, 1.4],
+                                 [1, 0, 0, 0, 1, 0, 0, 0, 1]))
+    with open(path, "rb") as fh:
+        good = fh.read()
+
+    ok = errors = 0
+    for cut in range(0, len(good), 7):
+        trunc = str(tmp_path / "t.dng")
+        with open(trunc, "wb") as fh:
+            fh.write(good[:cut])
+        try:
+            read_dng(trunc)
+            ok += 1
+        except (ValueError, struct.error):
+            errors += 1
+    assert errors > 0  # truncations are detected, not silently accepted
+
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        data = bytearray(good)
+        i = int(rng.integers(0, len(data)))
+        data[i] = int(rng.integers(0, 256))
+        fuzzed = str(tmp_path / "f.dng")
+        with open(fuzzed, "wb") as fh:
+            fh.write(bytes(data))
+        for fn in (read_dng, get_camera_parameters):
+            try:
+                fn(fuzzed)
+            except (ValueError, struct.error):
+                pass
+
+
 @pytest.mark.parametrize("big_endian", [False, True])
 def test_camera_parameters_roundtrip(tmp_path, big_endian):
     """get_camera_parameters extracts BlackLevel / AsShotNeutral /
