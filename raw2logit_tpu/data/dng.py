@@ -61,6 +61,11 @@ def _read_ifd(buf, order, offset):
                 raise ValueError(
                     f"IFD entry tag {tag}: {count} values of {size} bytes "
                     f"exceed the {len(buf)}-byte file")
+        if count == 0:
+            # malformed-but-seen-in-the-wild zero-count entries: skip
+            # rather than store [] (consumers index [0] on present tags)
+            pos += 12
+            continue
         if ftype in _TYPES:
             ch, size = _TYPES[ftype]
             total = size * count
@@ -91,7 +96,10 @@ def _all_ifds(buf, order, first_offset):
         seen.add(off)
         entries, next_off = _read_ifd(buf, order, off)
         ifds.append(entries)
-        stack.extend(entries.get(_TAG_SUB_IFDS, []))
+        # a corrupt type byte can deliver the SubIFD offsets as rational
+        # floats; only integer offsets are followable
+        stack.extend(o for o in entries.get(_TAG_SUB_IFDS, [])
+                     if isinstance(o, int))
         if next_off:
             stack.append(next_off)
     return ifds
@@ -222,9 +230,21 @@ def get_camera_parameters(path):
         raise ValueError(f"{path}: no camera parameters — missing DNG "
                          f"tag(s): {', '.join(missing)}")
     bl = ifd[_TAG_BLACK_LEVEL]
-    black_level = list(bl) * 4 if len(bl) == 1 else list(bl[:4])
+    # broadcast/tile the BlackLevel repeat pattern to the four RGGB sites
+    # (BlackLevelRepeatDim 1x1 -> scalar, 1x2/2x1 -> column/row pair);
+    # anything else (0, 3) is malformed for an RGGB CFA
+    if len(bl) == 1:
+        black_level = list(bl) * 4
+    elif len(bl) == 2:
+        black_level = list(bl) * 2
+    elif len(bl) >= 4:
+        black_level = list(bl[:4])
+    else:
+        raise ValueError(f"{path}: BlackLevel has {len(bl)} values, "
+                         "expected 1, 2, or 4 for an RGGB CFA")
     neutral = ifd[_TAG_AS_SHOT_NEUTRAL][:3]
-    if len(neutral) != 3 or any(n <= 0 for n in neutral):
+    # `not (n > 0)` also rejects NaN (a zero-denominator rational)
+    if len(neutral) != 3 or any(not (n > 0) for n in neutral):
         raise ValueError(f"{path}: bad AsShotNeutral {neutral}")
     white_balance = [neutral[1] / n for n in neutral]
     cm = ifd[_TAG_COLOR_MATRIX1]
@@ -242,8 +262,14 @@ def _pack_entries(order, entries, heap, heap_base):
             ch = _RATIONALS[ftype]
             out += struct.pack(order + "HHI", tag, ftype, len(vals))
             out += struct.pack(order + "I", heap_base + len(heap))
+            lo, hi = (0, 2 ** 32) if ftype == 5 else (-2 ** 31, 2 ** 31)
             for v in vals:
                 f = Fraction(v).limit_denominator(65536)
+                if not (lo <= f.numerator < hi and 0 <= f.denominator < hi):
+                    raise ValueError(
+                        f"tag {tag}: value {v} does not fit a "
+                        f"{'RATIONAL' if ftype == 5 else 'SRATIONAL'} "
+                        "(use signed values only for SRATIONAL tags)")
                 heap += struct.pack(order + ch * 2, f.numerator,
                                     f.denominator)
             continue

@@ -121,7 +121,16 @@ class _RecordBucket:
             self.file_name = name
 
     def __init__(self, api_url=ZENODO_API, timeout=60):
-        self._files = zenodo_file_list(api_url, timeout=timeout)
+        try:
+            self._files = zenodo_file_list(api_url, timeout=timeout)
+        except (urllib.error.URLError, OSError, ValueError) as e:
+            # same contract as b2_download_folder: instructive error when
+            # the mirror is unreachable (e.g. this zero-egress image)
+            raise FileNotFoundError(
+                f"cannot list the dataset record ({e}); the Zenodo mirror "
+                f"at {api_url} is unreachable from this host. On a host "
+                "with network access, fetch the record manifest manually "
+                "or run b2_download_folder there.") from e
 
     def ls(self, folder="", show_versions=False):
         for f in self._files:

@@ -39,8 +39,11 @@ def make_dataloader(dataset, batch_size, shuffle=True, **kw):
     ``make_dataloader`` (dataset.py:551-560, TensorDataset + DataLoader).
     Arrays stay in this framework's native layout (NHWC, not the
     reference's np2torch CHW); extra kwargs pass through to Loader
-    (seed/mesh/prefetch/drop_last)."""
+    (seed/mesh/prefetch/drop_last). The ragged tail batch is KEPT by
+    default like torch DataLoader's drop_last=False (Loader alone ties
+    its default to ``shuffle`` for mesh-divisible training epochs)."""
     X, Y = dataset
+    kw.setdefault("drop_last", False)
     return Loader(ArrayDataset(X, Y), batch_size, shuffle=shuffle, **kw)
 
 

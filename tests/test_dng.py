@@ -188,6 +188,46 @@ def test_camera_parameters_scalar_black_level_broadcasts(tmp_path):
     np.testing.assert_allclose(wb, [1.0, 1.0, 1.0])
 
 
+def test_camera_parameters_blacklevel_pair_tiles_and_nan_neutral_raises(
+        tmp_path):
+    """A 2-value BlackLevel (1x2 repeat pattern) tiles to the four RGGB
+    sites; a non-positive/NaN AsShotNeutral must be rejected, not returned
+    as NaN white balance."""
+    from raw2logit_tpu.data.dng import (_TAG_AS_SHOT_NEUTRAL,
+                                        get_camera_parameters)
+
+    path = str(tmp_path / "raw.dng")
+    write_dng(path, _mosaic(),
+              camera_parameters=([3.0, 7.0], [1.0, 1.0, 1.0],
+                                 [1, 0, 0, 0, 1, 0, 0, 0, 1]))
+    bl, _, _ = get_camera_parameters(path)
+    np.testing.assert_allclose(bl, [3.0, 7.0, 3.0, 7.0])
+
+    # hand-corrupt AsShotNeutral's first denominator to 0 -> NaN value
+    with open(path, "rb") as fh:
+        data = bytearray(fh.read())
+    import struct
+    tag_bytes = struct.pack("<H", _TAG_AS_SHOT_NEUTRAL)
+    entry = data.find(tag_bytes)
+    assert entry != -1
+    (val_off,) = struct.unpack_from("<I", data, entry + 8)
+    struct.pack_into("<I", data, val_off + 4, 0)  # first denominator
+    with open(path, "wb") as fh:
+        fh.write(bytes(data))
+    with pytest.raises(ValueError, match="AsShotNeutral"):
+        get_camera_parameters(path)
+
+
+def test_write_dng_rejects_out_of_range_rationals(tmp_path):
+    """Unsigned RATIONAL tags (BlackLevel/AsShotNeutral) must reject
+    negative values with a clear error, not a bare struct.error."""
+    path = str(tmp_path / "raw.dng")
+    with pytest.raises(ValueError, match="RATIONAL"):
+        write_dng(path, _mosaic(),
+                  camera_parameters=([-5.0] * 4, [1.0, 1.0, 1.0],
+                                     [1, 0, 0, 0, 1, 0, 0, 0, 1]))
+
+
 def test_camera_parameters_missing_tags_named(tmp_path):
     from raw2logit_tpu.data.dng import get_camera_parameters
 

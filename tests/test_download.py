@@ -110,6 +110,12 @@ def test_b2_download_folder_offline_raises(tmp_path):
         b2_download_folder("drone/images", str(tmp_path / "nope"))
 
 
+def test_b2_list_files_offline_raises_with_instructions():
+    from raw2logit_tpu.data.download import b2_list_files
+    with pytest.raises(FileNotFoundError, match="unreachable"):
+        b2_list_files("folder")
+
+
 def test_b2_list_files_and_bucket_ls(server, capsys):
     """Reference L0 surface (utils/base.py:117-133): get_b2_bucket().ls()
     yields (file_info, _) with .file_name; b2_list_files prints names."""

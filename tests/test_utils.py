@@ -135,11 +135,12 @@ def test_make_dataloader_over_array_pair():
     np.testing.assert_array_equal(ys, Y[:4])
     np.testing.assert_array_equal(batches[2][0], X[8:])
 
-    # shuffled: every item exactly once over the epoch (full batches only)
-    xs_all = np.concatenate([b[0] for b in
-                             make_dataloader((X, Y), batch_size=5, seed=3,
-                                             prefetch=False)])
-    assert xs_all.shape == X.shape
+    # shuffled: every item exactly once per epoch INCLUDING the ragged
+    # tail (reference torch DataLoader drop_last=False, dataset.py:551-560)
+    shuffled = list(make_dataloader((X, Y), batch_size=4, seed=3,
+                                    prefetch=False))
+    assert [len(b[1]) for b in shuffled] == [4, 4, 2]
+    xs_all = np.concatenate([b[0] for b in shuffled])
     np.testing.assert_array_equal(np.sort(xs_all.ravel()), X.ravel())
 
     with pytest.raises(ValueError, match="mismatch"):
