@@ -19,6 +19,7 @@ class NNProcessing(nn.Module):
     normalize_mosaic_mean: Optional[Sequence[float]] = None
     normalize_mosaic_std: Optional[Sequence[float]] = None
     encoder_name: str = "resnet34"
+    remat: bool = False  # rematerialize the U-Net++ decoder grid nodes
 
     @nn.compact
     def __call__(self, raw, train: bool = True, taps=None):
@@ -40,7 +41,8 @@ class NNProcessing(nn.Module):
 
         rgb = UNetPlusPlus(encoder_name=self.encoder_name, encoder_depth=3,
                            decoder_channels=(256, 128, 64), in_channels=3,
-                           classes=3, name="model")(rgb, train=train)
+                           classes=3, remat=self.remat,
+                           name="model")(rgb, train=train)
         if self.batch_norm_output:
             rgb = TorchBatchNorm(name="batch_norm")(
                 rgb, use_running_average=not train)

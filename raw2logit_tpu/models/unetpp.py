@@ -49,16 +49,25 @@ class ConvBlock(nn.Module):
 
 
 class UNetPlusPlus(nn.Module):
+    """remat=True rematerializes each decoder grid node: the backward pass
+    recomputes the node's conv-BN-relu internals from its concat input
+    instead of reading saved activations — exact same math, trading MXU
+    recompute (idle at this family's 11-27% MFU) for HBM activation
+    traffic (the measured bound, 65-74% util)."""
+
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     in_channels: int = 3
     classes: int = 1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert len(self.decoder_channels) == self.encoder_depth
+        block_fn = (nn.remat(ConvBlock, static_argnums=(2,))
+                    if self.remat else ConvBlock)
         block_cls, stage_sizes = RESNET_CONFIGS[self.encoder_name.lower()]
         encoder = ResNet(block_cls=block_cls, stage_sizes=stage_sizes,
                          num_classes=1, in_channels=self.in_channels,
@@ -78,8 +87,8 @@ class UNetPlusPlus(nn.Module):
                 y = jnp.concatenate(skips + [up], axis=-1)
                 # i <= d - j <= d - 1 here, so row i always indexes
                 # decoder_channels directly
-                y = ConvBlock(row_ch[i], dtype=self.dtype,
-                              name=f"x_{i}_{j}")(y, train=train)
+                y = block_fn(row_ch[i], dtype=self.dtype,
+                             name=f"x_{i}_{j}")(y, train)
                 grid[(i, j)] = y
 
         out = nn.Conv(self.classes, (3, 3), padding="SAME",

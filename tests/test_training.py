@@ -175,6 +175,37 @@ def test_segmentation_train_step():
     assert 0.0 <= float(m["iou_score"]) <= 1.0
 
 
+def test_unetpp_remat_bitwise_identical():
+    """remat=True (decoder grid nodes rematerialized) must be EXACTLY the
+    same computation: outputs, grads, and BN batch-stats updates bitwise
+    equal. Measured SLOWER on the chip for both U-Net++ families (seg
+    368 vs 314.5 ms, neural monolith 133.5 vs 108.6 — recompute at the
+    families' 11-27% MFU outweighs the activation-byte savings;
+    ROUND3_NOTES.md) — kept as an exact opt-in for memory-bound configs."""
+    from raw2logit_tpu.models import UNetPlusPlus
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    kw = dict(encoder_name="resnet18", encoder_depth=3,
+              decoder_channels=(64, 32, 16), classes=1)
+    m0, m1 = UNetPlusPlus(**kw), UNetPlusPlus(**kw, remat=True)
+    v = m0.init(jax.random.key(0), x, train=False)
+
+    def run(m):
+        def f(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2), mut["batch_stats"]
+        (l, bs), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return l, bs, g
+
+    (l0, bs0, g0), (l1, bs1, g1) = run(m0), run(m1)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves((g0, bs0)),
+                    jax.tree_util.tree_leaves((g1, bs1))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_loader_batches():
     ds = SyntheticRawClassification(n=10, h=32, w=32)
     loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True)

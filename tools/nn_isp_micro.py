@@ -39,8 +39,10 @@ def main():
 
     # reference neural_network mode: mosaic-normalized NNProcessing
     # (train.py:187-200) -> resnet18 classifier
+    # NN_REMAT=1: rematerialize the U-Net++ decoder grid nodes (exact)
     processor = NNProcessing(normalize_mosaic_mean=(0.5, 0.5, 0.5),
-                             normalize_mosaic_std=(0.25, 0.25, 0.25))
+                             normalize_mosaic_std=(0.25, 0.25, 0.25),
+                             remat=os.environ.get("NN_REMAT", "0") == "1")
     classifier = resnet_model("resnet18", fc_out_features=9,
                               dtype=jnp.bfloat16)
     cfg = TrainConfig(task="classification", lr=1e-5)

@@ -40,9 +40,12 @@ def main():
         use_pallas=True)
     # reference drone setup: smp.UnetPlusPlus(resnet34, depth 5,
     # decoder (256,128,64,32,16), 1 class) + Dice (train.py:218-237)
+    # SEG_REMAT=1: rematerialize the decoder grid nodes (exact; trades
+    # recompute at the step's 11% MFU for saved-activation HBM traffic)
     classifier = UNetPlusPlus(encoder_name="resnet34", encoder_depth=5,
                               decoder_channels=(256, 128, 64, 32, 16),
-                              in_channels=3, classes=1, dtype=jnp.bfloat16)
+                              in_channels=3, classes=1, dtype=jnp.bfloat16,
+                              remat=os.environ.get("SEG_REMAT", "0") == "1")
     cfg = TrainConfig(task="segmentation", lr=1e-5)
 
     rng = np.random.default_rng(0)
