@@ -15,6 +15,9 @@ Usage: python tools/profile_step.py [batch] [steps]
          (drone car-seg config: parametrized ISP -> U-Net++ -> Dice)
        PROFILE_TASK=neural python tools/profile_step.py 64 10
          (neural_network mode: NNProcessing -> ResNet18 -> CE)
+       PROFILE_TASK=adversarial python tools/profile_step.py 256 20
+         (drift forensics: frozen classifier, SSIM aux; adds the
+          isp_fwd_ref and aux_grad rows)
 """
 
 import json
@@ -63,7 +66,7 @@ def main():
 
     task = os.environ.get("PROFILE_TASK", "classification")
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else (
-        256 if task == "classification" else 64)
+        256 if task in ("classification", "adversarial") else 64)
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     size = int(os.environ.get("BENCH_SIZE", 256))
 
@@ -97,7 +100,16 @@ def main():
         classifier = resnet_model("resnet18", fc_out_features=9,
                                   dtype=jnp.bfloat16)
         y = jnp.asarray(rng.integers(0, 9, size=(batch,)), jnp.int32)
-    cfg = TrainConfig(task=task, lr=1e-5)
+    if task == "adversarial":
+        # drift-forensics setup (train.py:241-273, tools/adv_micro.py)
+        cfg = TrainConfig(task="classification", lr=1e-3,
+                          adv_training=True, loss_weight=-1.0,
+                          adv_aux_loss="ssim", adv_aux_weight=0.3,
+                          freeze_classifier=True)
+        task = "classification"
+        out_tag = "adversarial"
+    else:
+        cfg = TrainConfig(task=task, lr=1e-5)
     # PROFILE_FUSE_OPT=1: per-module Adam applies folded into the two
     # gradient programs (no opt_apply row)
     fuse_opt = os.environ.get("PROFILE_FUSE_OPT", "0") == "1"
@@ -156,6 +168,19 @@ def main():
         "isp_bwd": (step.programs["isp_bwd"], bwd_args,
                     lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0]),
     }
+    if "aux_grad" in step.programs:
+        # adversarial extras: the frozen default-processor forward (the
+        # same compiled isp_fwd program on the ref params) and the SSIM/l2
+        # aux value + rgb-cotangent program
+        ref_args = (state.ref_proc_params, state.ref_proc_stats, raw)
+        ref_rgb = step.programs["isp_fwd"](*ref_args)[0]
+        progs["isp_fwd_ref"] = (
+            step.programs["isp_fwd"], ref_args,
+            lambda o: o[0][0, 0, 0, 0] if o[0].ndim == 4 else o[0][0, 0, 0])
+        progs["aux_grad"] = (
+            step.programs["aux_grad"],
+            (ref_rgb, rgb, d_rgb, mets["loss"]),
+            lambda o: o[0])
     if not fuse_opt:
         progs["opt_apply"] = (
             step.programs["opt_apply"],
@@ -184,7 +209,8 @@ def main():
           f"({batch / total:.0f} imgs/s at batch {batch})")
     os.makedirs("results", exist_ok=True)
     out_path = {"segmentation": "results/profile_step_seg.json",
-                "neural": "results/profile_step_neural.json"}.get(
+                "neural": "results/profile_step_neural.json",
+                "adversarial": "results/profile_step_adv.json"}.get(
                     out_tag, "results/profile_step.json")
     with open(out_path, "w") as fh:
         json.dump({"task": out_tag, "batch": batch, "size": size,
