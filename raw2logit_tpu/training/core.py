@@ -591,11 +591,28 @@ def make_staged_train_step(cfg: TrainConfig, processor, classifier, tx,
             _clf_grad_bn_opt_impl,
             donate_argnums=(0, 6) if donate else ())
 
+    # SSIM aux on the fast (planar Pallas) path runs as ONE fused kernel
+    # computing the value and the rgb cotangent together: XLA's separable
+    # window convs round-trip every pass through HBM (28.6 ms at batch
+    # 256, 77% HBM util, results/profile_step_adv.json) where the kernel
+    # measures 17.7 ms at the VPU tap bound — and the planar layout drops
+    # the NHWC boundary transposes (pallas/ssim_aux.py; parity vs
+    # jax.grad of ops/ssim.py in tests/test_pallas.py).
+    aux_kernel = aux_fn is not None and fast and cfg.adv_aux_loss == "ssim"
+
     @jax.jit
     def aux_grad(ref_rgb, rgb, d_rgb, task_loss):
         """Adversarial regularizer value + rgb cotangent, fused with the
         cotangent accumulation and the loss total (one tiny program; an
         eager add would pay its own remote compile)."""
+        if aux_kernel:
+            from raw2logit_tpu.pallas.fused_isp import _is_tpu
+            from raw2logit_tpu.pallas.ssim_aux import ssim_aux_value_grad
+            loss_aux, g = ssim_aux_value_grad(
+                jax.lax.stop_gradient(ref_rgb), rgb, cfg.adv_aux_weight,
+                interpret=not _is_tpu())
+            return loss_aux, task_loss + loss_aux, d_rgb + g
+
         def f(r):
             if fast:
                 # planar boundary: the aux losses (SSIM windows) are

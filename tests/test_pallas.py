@@ -208,3 +208,65 @@ def test_custom_vjp_pallas_choice_uses_residual_forward(raw_batch,
         np.testing.assert_allclose(np.asarray(g_fused[1][k]),
                                    np.asarray(g_ref[1][k]),
                                    rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+def test_ssim_aux_kernel_matches_autodiff():
+    """The fused SSIM-aux kernel (pallas/ssim_aux.py) must match
+    jax.value_and_grad of weight * ops.ssim on the transposed planar
+    inputs — value and d/d(adv_rgb) both (interpret mode)."""
+    from raw2logit_tpu.ops.ssim import ssim
+    from raw2logit_tpu.pallas.ssim_aux import ssim_aux_value_grad
+
+    rng = np.random.default_rng(7)
+    ref = jnp.asarray(rng.uniform(size=(2, 3, 32, 32)), jnp.float32)
+    x = jnp.asarray(rng.uniform(size=(2, 3, 32, 32)), jnp.float32)
+    for weight in (0.3, 1.0):
+        v_k, g_k = ssim_aux_value_grad(ref, x, weight, interpret=True)
+
+        def f(xx):
+            return weight * ssim(jnp.transpose(ref, (0, 2, 3, 1)),
+                                 jnp.transpose(xx, (0, 2, 3, 1)))
+
+        v_t, g_t = jax.value_and_grad(f)(x)
+        np.testing.assert_allclose(float(v_k), float(v_t), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_t),
+                                   atol=1e-8)
+
+
+def test_staged_adv_aux_kernel_matches_xla_aux(monkeypatch):
+    """The staged adversarial step with the fused SSIM-aux kernel (fast
+    Pallas path) must produce the same loss/aux/update direction as the
+    XLA aux route (processor without use_pallas), one step from the same
+    state."""
+    from raw2logit_tpu.training import (TrainConfig, create_train_state,
+                                        make_staged_train_step)
+    from raw2logit_tpu.models import resnet_model
+
+    monkeypatch.setenv("R2L_FUSED_BWD", "pallas")
+    rng = np.random.default_rng(11)
+    raw = jnp.asarray(rng.uniform(size=(2, 32, 32)), jnp.float32)
+    y = jnp.asarray([0, 1], jnp.int32)
+    cfg = TrainConfig(task="classification", lr=1e-2, adv_training=True,
+                      loss_weight=-1.0, adv_aux_loss="ssim",
+                      adv_aux_weight=0.5, freeze_classifier=True)
+    classifier = resnet_model("resnet18", fc_out_features=2)
+
+    outs = {}
+    for tag, use_pallas in (("kernel", True), ("xla", False)):
+        proc = ParametrizedProcessing(camera_parameters=None, image_size=32,
+                                      use_pallas=use_pallas)
+        state, tx = create_train_state(cfg, proc, classifier, raw,
+                                       jax.random.key(0))
+        step = make_staged_train_step(cfg, proc, classifier, tx,
+                                      donate=False)
+        assert ("aux_grad" in step.programs)
+        s2, mets = step(state, raw, y, jax.random.key(1))
+        outs[tag] = (mets, s2.proc_params["gamma_correct"])
+
+    m_k, m_x = outs["kernel"][0], outs["xla"][0]
+    np.testing.assert_allclose(float(m_k["loss_aux"]),
+                               float(m_x["loss_aux"]), atol=1e-5)
+    np.testing.assert_allclose(float(m_k["loss"]), float(m_x["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs["kernel"][1]),
+                               np.asarray(outs["xla"][1]), atol=1e-5)
