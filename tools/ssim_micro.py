@@ -86,6 +86,16 @@ def main():
             vg_s, (a, b), steps, lambda o: float(o[0])) * 1e3, 3)}
     print("stacked", json.dumps(report["stacked"]), flush=True)
 
+    # fused Pallas value+grad kernel (the aux_grad fast path)
+    from raw2logit_tpu.pallas.ssim_aux import ssim_aux_value_grad
+    ap = jnp.transpose(a, (0, 3, 1, 2))
+    bp = jnp.transpose(b, (0, 3, 1, 2))
+    vg_k = jax.jit(lambda x, y: ssim_aux_value_grad(x, y, 1.0))
+    report["pallas_fused"] = {
+        "value_and_grad_ms": round(time_fn(
+            vg_k, (ap, bp), steps, lambda o: float(o[0])) * 1e3, 3)}
+    print("pallas_fused", json.dumps(report["pallas_fused"]), flush=True)
+
     # cross-check the two forms agree on-chip too
     s_sep = float(jax.jit(lambda x, y: ssim(x, y))(a, b))
     s_dense = float(jax.jit(lambda x, y: ssim(x, y, separable=False))(a, b))
