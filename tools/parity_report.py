@@ -113,7 +113,32 @@ def main():
             "ssim": _ssim01(got, want),
             "max_abs": float(np.abs(got - want).max())}
 
-    # --- (b) fused pallas kernel vs staged module --------------------------
+    # --- (b) differential parity vs the LITERAL reference ------------------
+    # fixtures captured from the unmodified /root/reference pipeline_torch
+    # (tools/gen_reference_fixtures.py; see tests/test_reference_parity.py
+    # for the full contract incl. gradients and the f64 exactness tier)
+    import test_reference_parity as refpar
+    fx = np.load(refpar.FIXTURE)
+    proc_ref = refpar.module_for(refpar.MICROSCOPY_CAM, track_stages=True,
+                                 additive=True, image_size=128)
+    variables_ref = refpar.build_variables(fx, "A", 128)
+    (out_ref, stages_ref), mut_ref = proc_ref.apply(
+        variables_ref, jnp.asarray(fx["A.raw"]), train=True,
+        mutable=["batch_stats"])
+    for name in sorted(stages_ref):
+        want = np.transpose(fx[f"A.stage.{name}"], (0, 2, 3, 1))
+        got = np.asarray(stages_ref[name])
+        report[f"reference_stage_{name}"] = {
+            "ssim": _ssim01(got, want),
+            "max_abs": float(np.abs(got - want).max())}
+    report["reference_out_train"] = {
+        "ssim": _ssim01(np.asarray(out_ref),
+                        np.transpose(fx["A.out_train"], (0, 2, 3, 1))),
+        "max_abs": float(np.abs(
+            np.asarray(out_ref)
+            - np.transpose(fx["A.out_train"], (0, 2, 3, 1))).max())}
+
+    # --- (c) fused pallas kernel vs staged module --------------------------
     proc = ParametrizedProcessing(camera_parameters=cam,
                                   batch_norm_output=False)
     variables = proc.init(jax.random.key(0), jnp.asarray(raw))
