@@ -180,6 +180,24 @@ def _run_child(mode):
     return None
 
 
+def _reference_baseline(kind):
+    """imgs/sec of the reference-anchored torch-CPU baseline: the LITERAL
+    upstream ParametrizedProcessing as the ISP half
+    (benchmarks/reference_baseline.py). Generated in a subprocess if the
+    cache is absent — the reference shim shadows top-level module names,
+    so the measurement never runs in-process. kind: 'train' | 'infer'."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(repo, "results", "torch_baseline_ref.json")
+    if not os.path.exists(cache):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "benchmarks", "reference_baseline.py")],
+            check=True, capture_output=True, text=True, timeout=1800,
+            cwd=repo)
+    with open(cache) as fh:
+        return json.load(fh)[f"{kind}_imgs_per_sec"]
+
+
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
@@ -234,12 +252,28 @@ def main():
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
 
+    # vs_baseline is anchored on the LITERAL reference ISP (VERDICT r3
+    # item 2); the hand-written baseline is kept as a side channel so the
+    # two multipliers stay comparable across rounds.
+    try:
+        ref_baseline = _reference_baseline(
+            "train" if used_mode != "infer" else "infer")
+    except Exception as e:  # noqa: BLE001
+        print(f"reference baseline unavailable: {e}", file=sys.stderr)
+        ref_baseline = None
+
+    primary = ref_baseline or baseline
     result = {
         "metric": f"raw2logit_{used_mode}_throughput",
         "value": round(value, 2),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "vs_baseline": round(value / primary, 2) if primary else None,
+        "baseline_kind": ("reference_isp_torch_cpu" if ref_baseline
+                          else "handwritten_torch_cpu" if baseline
+                          else None),
     }
+    if ref_baseline and baseline:
+        result["vs_baseline_handwritten"] = round(value / baseline, 2)
     print(json.dumps(result))
 
 

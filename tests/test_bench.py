@@ -18,6 +18,9 @@ def fake_baseline(monkeypatch):
     mod.get_torch_baseline = lambda: 5.0
     mod.measure_torch_cpu = lambda train=True: 17.0
     monkeypatch.setitem(sys.modules, "torch_baseline", mod)
+    # reference-anchored baseline (the primary vs_baseline denominator)
+    monkeypatch.setattr(bench, "_reference_baseline",
+                        lambda kind: {"train": 4.0, "infer": 16.0}[kind])
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     return mod
 
@@ -44,7 +47,11 @@ def test_auto_reports_best_train_measurement(monkeypatch, capsys,
     assert calls == ["train_staged", "train"]
     assert result["metric"] == "raw2logit_train_throughput"
     assert result["value"] == 500.0  # best of the two, not last
-    assert result["vs_baseline"] == 100.0  # vs the 5.0 torch train baseline
+    # primary ratio vs the 4.0 reference-anchored train baseline; the
+    # hand-written 5.0 baseline rides along as a side channel
+    assert result["vs_baseline"] == 125.0
+    assert result["baseline_kind"] == "reference_isp_torch_cpu"
+    assert result["vs_baseline_handwritten"] == 100.0
 
 
 def test_auto_monolith_wins_when_faster(monkeypatch, capsys, fake_baseline):
@@ -78,7 +85,25 @@ def test_auto_falls_back_to_infer(monkeypatch, capsys, fake_baseline,
     monkeypatch.setenv("BENCH_MODE", "auto")
     result = _run_main(capsys)
     assert result["metric"] == "raw2logit_infer_throughput"
-    assert result["vs_baseline"] == round(9900.0 / 17.0, 2)
+    assert result["vs_baseline"] == round(9900.0 / 16.0, 2)
+    assert result["vs_baseline_handwritten"] == round(9900.0 / 17.0, 2)
+
+
+def test_falls_back_to_handwritten_baseline(monkeypatch, capsys,
+                                            fake_baseline):
+    """A missing/broken reference baseline must not null vs_baseline."""
+    def broken(kind):
+        raise FileNotFoundError("no fixture")
+
+    monkeypatch.setattr(bench, "_reference_baseline", broken)
+    monkeypatch.setattr(bench, "_run_child",
+                        lambda mode: 500.0 if mode == "train_staged"
+                        else None)
+    monkeypatch.setenv("BENCH_MODE", "train_staged")
+    result = _run_main(capsys)
+    assert result["vs_baseline"] == 100.0  # 500 / 5.0 hand-written
+    assert result["baseline_kind"] == "handwritten_torch_cpu"
+    assert "vs_baseline_handwritten" not in result
 
 
 def test_train_mode_does_not_fall_back(monkeypatch, capsys, fake_baseline):
