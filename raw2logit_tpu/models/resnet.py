@@ -147,9 +147,11 @@ def resnet_model(model="resnet18", pretrained=False, in_channels=3,
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"--classifier_pretrained requested but {path} does not "
-                "exist. Convert torchvision ImageNet weights on a host that "
-                "has torchvision:  python tools/convert_torchvision.py "
-                f"{model.lower()} {path}")
+                "exist. Convert torchvision ImageNet weights with "
+                f"`python tools/convert_torchvision.py {model.lower()} "
+                f"{path}` on a host that has torchvision, or from a "
+                "torchvision-layout checkpoint in-image with "
+                "`--state_dict ckpt.pth` (needs only torch)")
     return net
 
 
@@ -243,7 +245,8 @@ def load_pretrained_variables(model_name, variables, weights_dir="weights",
         if required:
             raise FileNotFoundError(
                 f"pretrained weights requested but {path} does not exist; "
-                "run tools/convert_torchvision.py on a host with torchvision")
+                "run tools/convert_torchvision.py on a host with "
+                "torchvision, or in-image via its --state_dict mode")
         print(f"note: no converted ImageNet weights at {path}; "
               "encoder uses random init")
         return variables, []

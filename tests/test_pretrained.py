@@ -9,11 +9,15 @@ conv1/fc even when pretrained), and asking for pretrained with no weights
 fails loudly.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+
+REPO_TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 
 from raw2logit_tpu.models import UNetPlusPlus, resnet_model
 from raw2logit_tpu.models.resnet import (PRETRAINED_SKIP,
@@ -156,6 +160,92 @@ def test_truncated_encoder_ignore_missing(tmp_path):
         prefix=("encoder",), ignore_missing=True)
     assert len(applied) > 0
     assert all("layer3" not in k and "layer4" not in k for k in applied)
+
+
+def _synthetic_torchvision_sd(model_name="resnet18"):
+    """A torchvision-layout ResNet state_dict with deterministic values.
+    torch is in this image; torchvision is not, so the shapes follow the
+    published layout (conv1/bn1/layer{i}.{j}.conv{c}/downsample/fc)."""
+    import torch
+    gen = torch.Generator().manual_seed(3)
+    sd = {}
+
+    def t(*shape):
+        # realistically-scaled (zero-mean, small) so the 18-layer forward
+        # stays finite — all-positive weights overflow multiplicatively
+        return 0.05 * (torch.rand(*shape, generator=gen) - 0.5)
+
+    def add_bn(name, c):
+        sd[f"{name}.weight"] = 1.0 + t(c)
+        sd[f"{name}.bias"] = t(c)
+        sd[f"{name}.running_mean"] = t(c)
+        sd[f"{name}.running_var"] = 1.0 + t(c).abs()
+        sd[f"{name}.num_batches_tracked"] = torch.tensor(10)
+
+    sd["conv1.weight"] = t(64, 3, 7, 7)
+    add_bn("bn1", 64)
+    stage_sizes = {"resnet18": [2, 2, 2, 2],
+                   "resnet34": [3, 4, 6, 3]}[model_name]
+    cin = 64
+    for i, blocks in enumerate(stage_sizes):
+        c = 64 * 2 ** i
+        for j in range(blocks):
+            pre = f"layer{i + 1}.{j}"
+            sd[f"{pre}.conv1.weight"] = t(c, cin, 3, 3)
+            add_bn(f"{pre}.bn1", c)
+            sd[f"{pre}.conv2.weight"] = t(c, c, 3, 3)
+            add_bn(f"{pre}.bn2", c)
+            if j == 0 and i > 0:
+                sd[f"{pre}.downsample.0.weight"] = t(c, cin, 1, 1)
+                add_bn(f"{pre}.downsample.1", c)
+            cin = c
+    sd["fc.weight"] = t(1000, 512)
+    sd["fc.bias"] = t(1000)
+    return sd
+
+
+def test_converter_state_dict_end_to_end(resnet18_vars, tmp_path):
+    """The converter itself runs in-image (VERDICT r3 item 4): a
+    torchvision-layout .pth checkpoint converts via --state_dict mode,
+    the npz overlays onto real init, logits change, and a
+    wrong-architecture checkpoint fails loudly."""
+    import sys
+    import torch
+    sys.path.insert(0, str(REPO_TOOLS))
+    from convert_torchvision import convert
+
+    sd = _synthetic_torchvision_sd("resnet18")
+    ckpt = tmp_path / "resnet18_tv.pth"
+    torch.save(sd, ckpt)
+
+    flat = convert("resnet18", str(tmp_path / "resnet18.npz"),
+                   state_dict=str(ckpt))
+    # OIHW -> HWIO layout transform, spot-checked against the source
+    np.testing.assert_array_equal(
+        flat["params/layer1_0/Conv_0/kernel"],
+        np.transpose(sd["layer1.0.conv1.weight"].numpy(), (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        flat["batch_stats/layer2_0/downsample_bn/var"],
+        sd["layer2.0.downsample.1.running_var"].numpy())
+
+    new_vars, applied = load_pretrained_variables(
+        "resnet18", resnet18_vars, weights_dir=str(tmp_path))
+    assert len(applied) > 80
+    net = resnet_model("resnet18", fc_out_features=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    base = np.asarray(net.apply(resnet18_vars, x, train=False))
+    loaded = np.asarray(net.apply(new_vars, x, train=False))
+    assert np.abs(base - loaded).max() > 1e-3  # pretrained init took hold
+
+    # wrong architecture: resnet34 expects layer1.2, absent from an r18 sd
+    with pytest.raises(KeyError, match="resnet34"):
+        convert("resnet34", str(tmp_path / "x.npz"), state_dict=str(ckpt))
+    # not a resnet layout at all
+    torch.save({"foo.weight": torch.zeros(1)}, tmp_path / "bad.pth")
+    with pytest.raises(KeyError, match="conv1.weight"):
+        convert("resnet18", str(tmp_path / "y.npz"),
+                state_dict=str(tmp_path / "bad.pth"))
 
 
 def test_train_cli_classifier_pretrained(tmp_path, monkeypatch):
