@@ -26,45 +26,126 @@ from raw2logit_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
+# All four experiment families (the reference's README.md:33-35 axes:
+# drift synthesis = the static grid lives in tools/static_isp_micro.py;
+# classification, segmentation, neural-ISP, adversarial live here).
+# modes: which measurement children BENCH_MODE=auto may try, in order.
+FAMILY_DEFAULTS = {
+    "classification": {"batch": 256,
+                       "modes": ("train_staged", "train", "infer")},
+    "segmentation": {"batch": 64, "modes": ("train_staged", "infer")},
+    "neural": {"batch": 64, "modes": ("train_staged", "train", "infer")},
+    "adversarial": {"batch": 256, "modes": ("train_staged", "infer")},
+}
+
+
+def _build_family(family, image_size, n_classes, dtype):
+    """(processor, classifier, cfg, make_labels, donate) per family.
+
+    Configs mirror the per-family micro tools (tools/{seg,nn_isp,adv}
+    _micro.py) so bench.py reuses their cached compiled programs."""
+    import jax.numpy as jnp
+    import numpy as np
+    from raw2logit_tpu.data.datasets import (DRONE_CAMERA_PARAMS,
+                                             MICROSCOPY_CAMERA_PARAMS)
+    from raw2logit_tpu.isp import NNProcessing, ParametrizedProcessing
+    from raw2logit_tpu.models import UNetPlusPlus, resnet_model
+    from raw2logit_tpu.training import TrainConfig
+
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    use_pallas = os.environ.get("BENCH_ISP", "pallas") == "pallas"
+
+    if family == "segmentation":
+        # reference drone setup: smp.UnetPlusPlus(resnet34, depth 5,
+        # decoder (256,128,64,32,16), 1 class) + Dice (train.py:218-237)
+        processor = ParametrizedProcessing(
+            camera_parameters=DRONE_CAMERA_PARAMS, image_size=image_size,
+            use_pallas=use_pallas)
+        classifier = UNetPlusPlus(
+            encoder_name="resnet34", encoder_depth=5,
+            decoder_channels=(256, 128, 64, 32, 16), in_channels=3,
+            classes=1, dtype=cdtype)
+        cfg = TrainConfig(task="segmentation", lr=1e-5)
+
+        def make_labels(rng, batch):
+            return jnp.asarray(
+                rng.integers(0, 2, size=(batch, image_size, image_size)),
+                jnp.float32)
+        return processor, classifier, cfg, make_labels, True
+
+    if family == "neural":
+        # reference neural_network mode (train.py:187-200): NNProcessing
+        # on the normalized half-res packed mosaic -> resnet18
+        processor = NNProcessing(normalize_mosaic_mean=(0.5, 0.5, 0.5),
+                                 normalize_mosaic_std=(0.25, 0.25, 0.25))
+        classifier = resnet_model("resnet18", fc_out_features=n_classes,
+                                  dtype=cdtype)
+        cfg = TrainConfig(task="classification", lr=1e-5)
+    elif family == "adversarial":
+        # drift forensics (train.py:241-273): maximize task loss over ISP
+        # params, classifier frozen, SSIM aux vs the frozen default ISP
+        processor = ParametrizedProcessing(
+            camera_parameters=MICROSCOPY_CAMERA_PARAMS,
+            image_size=image_size, use_pallas=use_pallas)
+        classifier = resnet_model("resnet18", fc_out_features=n_classes,
+                                  dtype=cdtype)
+        cfg = TrainConfig(task="classification", lr=1e-3,
+                          adv_training=True, loss_weight=-1.0,
+                          adv_aux_loss="ssim", adv_aux_weight=0.3,
+                          freeze_classifier=True)
+    else:  # classification (the headline family)
+        processor = ParametrizedProcessing(
+            camera_parameters=MICROSCOPY_CAMERA_PARAMS,
+            image_size=image_size, use_pallas=use_pallas)
+        classifier = resnet_model("resnet18", fc_out_features=n_classes,
+                                  dtype=cdtype)
+        cfg = TrainConfig(task="classification", lr=1e-5)
+
+    def make_labels(rng, batch):
+        import jax.numpy as jnp
+        return jnp.asarray(rng.integers(0, n_classes, size=(batch,)),
+                           jnp.int32)
+    # adversarial keeps its state undonated (the frozen reference
+    # processor rides in the state across steps; tools/adv_micro.py)
+    return processor, classifier, cfg, make_labels, family != "adversarial"
+
+
 def measure_jax(mode="train", batch=None, image_size=None, steps=None,
-                n_classes=9, warmup=3, dtype=None):
+                n_classes=9, warmup=3, dtype=None, family=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from raw2logit_tpu.data.datasets import MICROSCOPY_CAMERA_PARAMS
-    from raw2logit_tpu.isp import ParametrizedProcessing
-    from raw2logit_tpu.models import resnet_model
-    from raw2logit_tpu.training import (TrainConfig, create_train_state,
+    from raw2logit_tpu.training import (create_train_state,
                                         make_staged_train_step,
                                         make_train_step)
 
-    # batch 256 saturates the chip (round-2 kernels: 2216 imgs/s @64,
-    # 3157 @256, 3143 @512; round-3 dieted kernels: 4200 @256,
-    # 4218 @512 — the plateau holds at 28.7-28.8% MFU)
-    batch = batch or int(os.environ.get("BENCH_BATCH", 256))
+    family = family or os.environ.get("BENCH_FAMILY", "classification")
+    # batch 256 saturates the chip for the flagship family (round-2
+    # kernels: 2216 imgs/s @64, 3157 @256, 3143 @512; round-3 dieted
+    # kernels: 4200 @256, 4218 @512 — the plateau holds at 28.7-28.8%
+    # MFU); seg/neural default to the batch their micros measured (64)
+    batch = batch or int(os.environ.get(
+        "BENCH_BATCH", FAMILY_DEFAULTS[family]["batch"]))
     image_size = image_size or int(os.environ.get("BENCH_SIZE", 256))
     steps = steps or int(os.environ.get("BENCH_STEPS", 20))
     dtype = dtype or os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    processor = ParametrizedProcessing(
-        camera_parameters=MICROSCOPY_CAMERA_PARAMS, image_size=image_size,
-        use_pallas=os.environ.get("BENCH_ISP", "pallas") == "pallas")
-    classifier = resnet_model(
-        "resnet18", fc_out_features=n_classes,
-        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
-    cfg = TrainConfig(task="classification", lr=1e-5)
+    processor, classifier, cfg, make_labels, donate = _build_family(
+        family, image_size, n_classes, dtype)
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.uniform(size=(batch, image_size, image_size)),
                       jnp.float32)
-    y = jnp.asarray(rng.integers(0, n_classes, size=(batch,)), jnp.int32)
+    y = make_labels(rng, batch)
 
-    # fuse_opt (default on): fold the per-module Adam applies into the
-    # two gradient programs (training/core.py) — no standalone opt_apply
-    # dispatch and one program fewer to compile cold. Measured 61.09 ms
-    # vs 61.27-61.70 unfused at batch 256 (within noise — the apply was
-    # already hidden by cross-program pipelining), never slower.
-    fuse_opt = (mode == "train_staged"
+    # fuse_opt (default on for the flagship family): fold the per-module
+    # Adam applies into the two gradient programs (training/core.py) — no
+    # standalone opt_apply dispatch and one program fewer to compile
+    # cold. Measured 61.09 ms vs 61.27-61.70 unfused at batch 256
+    # (within noise — the apply was already hidden by cross-program
+    # pipelining), never slower. Seg measured it exactly neutral
+    # (SEG_FUSE_OPT); off elsewhere to reuse the micros' cached programs.
+    fuse_opt = (mode == "train_staged" and family == "classification"
                 and os.environ.get("BENCH_FUSE_OPT", "1") == "1")
     state, tx = create_train_state(cfg, processor, classifier, raw,
                                    jax.random.key(0), split_opt=fuse_opt)
@@ -76,10 +157,10 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
             # cached independently (training/core.py). opt_apply donates
             # its dead grads/params/opt-state buffers like the monolith.
             step = make_staged_train_step(cfg, processor, classifier, tx,
-                                          donate=True, fuse_opt=fuse_opt)
+                                          donate=donate, fuse_opt=fuse_opt)
         else:
             step = make_train_step(cfg, processor, classifier, tx,
-                                   donate=True)
+                                   donate=donate)
         key = jax.random.key(1)
         for i in range(warmup):
             state, mets = step(state, raw, y, jax.random.fold_in(key, i))
@@ -108,13 +189,16 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
             rgb, _ = processor.apply(pvars, raw, train=False)
             return classifier.apply(cvars, rgb, train=False)
 
+        def first(o):  # logits are (B,C); seg masks are (B,H,W,1)
+            return float(np.asarray(o).ravel()[0])
+
         for _ in range(warmup):
             out = fwd(raw)
-        assert np.isfinite(float(out[0, 0]))  # true warm barrier (D2H)
+        assert np.isfinite(first(out))  # true warm barrier (D2H)
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fwd(raw)
-        assert np.isfinite(float(out[0, 0])), "non-finite logits"
+        assert np.isfinite(first(out)), "non-finite outputs"
 
     dt = time.perf_counter() - t0
 
@@ -137,7 +221,8 @@ def measure_jax(mode="train", batch=None, image_size=None, steps=None,
         elif mode == "infer":
             flops = _flops_of(fwd.lower(raw).compile())
         peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
-        note = {"mode": mode, "step_ms": round(dt / steps * 1e3, 3),
+        note = {"mode": mode, "family": family, "batch": batch,
+                "step_ms": round(dt / steps * 1e3, 3),
                 "imgs_per_sec": round(batch * steps / dt, 2),
                 "flops_per_step": flops,
                 "mfu_vs_bf16_peak": (round(flops / (dt / steps) / peak, 4)
@@ -198,16 +283,54 @@ def _reference_baseline(kind):
         return json.load(fh)[f"{kind}_imgs_per_sec"]
 
 
+# per-family torch-CPU baseline caches (benchmarks/torch_baseline.py
+# writes them; schema: train files carry train_imgs_per_sec, infer files
+# imgs_per_sec). The flagship family instead goes through
+# _reference_baseline (literal upstream ISP) with these as fallback.
+FAMILY_BASELINE_FILES = {
+    ("classification", "train"): ("results/torch_baseline.json",
+                                  "train_imgs_per_sec"),
+    ("classification", "infer"): ("results/torch_baseline_infer.json",
+                                  "imgs_per_sec"),
+    ("segmentation", "train"): ("results/torch_baseline_seg.json",
+                                "train_imgs_per_sec"),
+    ("segmentation", "infer"): ("results/torch_baseline_seg_infer.json",
+                                "imgs_per_sec"),
+    ("neural", "train"): ("results/torch_baseline_nn.json",
+                          "train_imgs_per_sec"),
+    ("neural", "infer"): ("results/torch_baseline_nn_infer.json",
+                          "imgs_per_sec"),
+    ("adversarial", "train"): ("results/torch_baseline_adv.json",
+                               "train_imgs_per_sec"),
+    # adversarial inference IS the classification forward (same models)
+    ("adversarial", "infer"): ("results/torch_baseline_infer.json",
+                               "imgs_per_sec"),
+}
+
+METRIC_TOKEN = {"classification": "", "segmentation": "seg_",
+                "neural": "neural_", "adversarial": "adv_"}
+
+
+def _family_baseline_file(family, kind):
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path, key = FAMILY_BASELINE_FILES[(family, kind)]
+    with open(os.path.join(repo, path)) as fh:
+        return json.load(fh)[key]
+
+
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
     from torch_baseline import get_torch_baseline, measure_torch_cpu
 
+    family = os.environ.get("BENCH_FAMILY", "classification")
+    allowed = FAMILY_DEFAULTS[family]["modes"]
     mode = os.environ.get("BENCH_MODE", "auto")
     grace = int(os.environ.get("BENCH_GRANT_GRACE", 90))
     value = None
     used_mode = "train"
-    if mode in ("auto", "train_staged"):
+    ran_before = False
+    if mode in ("auto", "train_staged") and "train_staged" in allowed:
         # staged four-program train step FIRST (identical update; each
         # program compiles within a budget window, training/core.py), the
         # monolith second as an upside attempt — the two measure within
@@ -215,56 +338,59 @@ def main():
         # the monolith's single-program compile is the one at risk of
         # blowing the budget. Best of the two is reported.
         value = _run_child("train_staged")
-    if mode in ("auto", "train"):
-        if mode == "auto":
+        ran_before = True
+    if mode in ("auto", "train") and "train" in allowed:
+        if mode == "auto" and ran_before:
             # a killed/finished child leaves a stale single-tenant TPU
             # grant; let the relay release it first
             time.sleep(grace)
         mono = _run_child("train")
+        ran_before = True
         if mono is not None and (value is None or mono > value):
             value = mono
     if value is None and mode in ("auto", "infer"):
-        if mode == "auto":  # grace only after a previous child's grant
-            time.sleep(grace)
+        if mode == "auto" and ran_before:
+            time.sleep(grace)  # grace only after a previous child's grant
         used_mode = "infer"
         value = _run_child("infer")
     if value is None:
-        print(json.dumps({"metric": "raw2logit_train_throughput",
+        print(json.dumps({"metric": (f"raw2logit_{METRIC_TOKEN[family]}"
+                                     "train_throughput"),
                           "value": None, "unit": "imgs/sec/chip",
                           "vs_baseline": None,
                           "error": "compile did not finish within budget"}))
         return
 
+    kind = "train" if used_mode != "infer" else "infer"
     try:
-        if used_mode == "train":
+        if family == "classification" and kind == "train":
             baseline = get_torch_baseline()
+        elif family == "classification" and not os.path.exists(
+                "results/torch_baseline_infer.json"):
+            baseline = measure_torch_cpu(train=False)
+            os.makedirs("results", exist_ok=True)
+            with open("results/torch_baseline_infer.json", "w") as fh:
+                json.dump({"imgs_per_sec": baseline}, fh)
         else:
-            cache = "results/torch_baseline_infer.json"
-            if os.path.exists(cache):
-                with open(cache) as fh:
-                    baseline = json.load(fh)["imgs_per_sec"]
-            else:
-                baseline = measure_torch_cpu(train=False)
-                os.makedirs("results", exist_ok=True)
-                with open(cache, "w") as fh:
-                    json.dump({"imgs_per_sec": baseline}, fh)
+            baseline = _family_baseline_file(family, kind)
     except Exception as e:  # noqa: BLE001 — never fail the bench on baseline
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
 
-    # vs_baseline is anchored on the LITERAL reference ISP (VERDICT r3
-    # item 2); the hand-written baseline is kept as a side channel so the
-    # two multipliers stay comparable across rounds.
-    try:
-        ref_baseline = _reference_baseline(
-            "train" if used_mode != "infer" else "infer")
-    except Exception as e:  # noqa: BLE001
-        print(f"reference baseline unavailable: {e}", file=sys.stderr)
-        ref_baseline = None
+    # the flagship family's vs_baseline is anchored on the LITERAL
+    # reference ISP (VERDICT r3 item 2); its hand-written baseline stays
+    # as a side channel so the multipliers stay comparable across rounds.
+    ref_baseline = None
+    if family == "classification":
+        try:
+            ref_baseline = _reference_baseline(kind)
+        except Exception as e:  # noqa: BLE001
+            print(f"reference baseline unavailable: {e}", file=sys.stderr)
 
     primary = ref_baseline or baseline
     result = {
-        "metric": f"raw2logit_{used_mode}_throughput",
+        "metric": (f"raw2logit_{METRIC_TOKEN[family]}"
+                   f"{used_mode}_throughput"),
         "value": round(value, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(value / primary, 2) if primary else None,

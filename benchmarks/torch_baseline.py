@@ -302,6 +302,85 @@ def get_torch_nn_isp_baseline(cache_path="results/torch_baseline_nn.json",
     return val
 
 
+def _torch_ssim(x, y, window_size=11, sigma=1.5):
+    """Differentiable SSIM (11x11 gaussian window, zero 'same' padding,
+    grouped conv) — same formulation as the reference's pytorch-ssim
+    (utils/ssim.py:19-75) and our ops/ssim.py, written fresh in torch for
+    the adversarial CPU baseline."""
+    import torch
+    import torch.nn.functional as F
+    ws = window_size
+    g = torch.exp(-((torch.arange(ws, dtype=x.dtype) - ws // 2) ** 2)
+                  / (2 * sigma ** 2))
+    g = g / g.sum()
+    c = x.shape[1]
+    w = (g[:, None] @ g[None, :]).expand(c, 1, ws, ws).contiguous()
+
+    def conv(t):
+        return F.conv2d(t, w, padding=ws // 2, groups=c)
+
+    mu1, mu2 = conv(x), conv(y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(x * x) - mu1_sq
+    s2 = conv(y * y) - mu2_sq
+    s12 = conv(x * y) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    num = (2 * mu1_mu2 + c1) * (2 * s12 + c2)
+    den = (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    return (num / den).mean()
+
+
+def measure_torch_cpu_adv(batch=4, image_size=256, steps=3, n_classes=9):
+    """imgs/sec of the ADVERSARIAL (drift-forensics) train step, torch
+    CPU: maximize task loss over the ISP params with the classifier
+    frozen, plus the SSIM aux toward the frozen default processor
+    (reference train.py:241-273, weight -1 task loss + 0.3 SSIM)."""
+    import copy
+    import torch
+    torch.manual_seed(0)
+    isp, net = _build_torch_models(n_classes)
+    ref_isp = copy.deepcopy(isp)
+    for p in ref_isp.parameters():
+        p.requires_grad_(False)
+    for p in net.parameters():  # freeze_classifier
+        p.requires_grad_(False)
+    opt = torch.optim.Adam(isp.parameters(), lr=1e-3)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    raw = torch.rand(batch, image_size, image_size)
+    y = torch.randint(0, n_classes, (batch,))
+
+    def one_step():
+        opt.zero_grad()
+        rgb = isp(raw)
+        with torch.no_grad():
+            ref_rgb = ref_isp(raw)
+        loss = -loss_fn(net(rgb), y) + 0.3 * _torch_ssim(ref_rgb, rgb)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def get_torch_adv_baseline(cache_path="results/torch_baseline_adv.json",
+                           **kw):
+    if not kw and os.path.exists(cache_path):
+        with open(cache_path) as fh:
+            return json.load(fh)["train_imgs_per_sec"]
+    val = measure_torch_cpu_adv(**kw)
+    if not kw:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as fh:
+            json.dump({"train_imgs_per_sec": val,
+                       "config": "torch-cpu adversarial step (frozen "
+                                 "ResNet18, -CE + 0.3*SSIM aux vs frozen "
+                                 "default ISP), batch 4, 256x256"}, fh)
+    return val
+
+
 def measure_torch_cpu(batch=4, image_size=256, steps=3, n_classes=9,
                       train=True):
     """imgs/sec of the joint ISP+ResNet18 step, torch CPU.

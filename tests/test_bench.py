@@ -106,6 +106,30 @@ def test_falls_back_to_handwritten_baseline(monkeypatch, capsys,
     assert "vs_baseline_handwritten" not in result
 
 
+def test_family_metric_and_baseline(monkeypatch, capsys, fake_baseline):
+    """BENCH_FAMILY picks the metric token, restricts the mode ladder
+    (segmentation has no monolith child), and reads the family's own
+    torch-CPU baseline cache."""
+    calls = []
+
+    def fake_child(mode):
+        calls.append(mode)
+        return 328.0 if mode == "train_staged" else None
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    monkeypatch.setattr(bench, "_family_baseline_file",
+                        lambda family, kind: {("segmentation", "train"):
+                                              0.8}[(family, kind)])
+    monkeypatch.setenv("BENCH_MODE", "auto")
+    monkeypatch.setenv("BENCH_FAMILY", "segmentation")
+    result = _run_main(capsys)
+    assert calls == ["train_staged"]  # no monolith attempt for seg
+    assert result["metric"] == "raw2logit_seg_train_throughput"
+    assert result["vs_baseline"] == 410.0
+    assert result["baseline_kind"] == "handwritten_torch_cpu"
+    assert "vs_baseline_handwritten" not in result  # non-flagship family
+
+
 def test_train_mode_does_not_fall_back(monkeypatch, capsys, fake_baseline):
     calls = []
 
