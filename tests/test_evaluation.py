@@ -228,3 +228,69 @@ def test_app_cli_normalizes_8bit_and_rgb(tmp_path):
         np.uint8)).save(prgb)
     out = demo.process_file(prgb)
     assert out.shape == (32, 32, 3)
+
+
+def test_app_http_demo_serves_end_to_end(tmp_path):
+    """The stdlib HTTP fallback actually SERVES the demo (gradio is not in
+    this image): GET / renders the form with all controls, POST /process
+    with a multipart upload returns the processed RGB as a valid PNG."""
+    import io
+    import threading
+    import urllib.request
+    import uuid
+
+    from PIL import Image
+    import app as demo
+
+    server = demo.make_server(port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        page = urllib.request.urlopen(f"{base}/", timeout=30).read()
+        for control in (b"RawImage", b"menon2007", b"unsharp_masking",
+                        b"fft_denoising", b"Drone"):
+            assert control in page, control
+
+        rng = np.random.default_rng(1)
+        buf = io.BytesIO()
+        Image.fromarray((rng.uniform(0.2, 0.9, (32, 32)) * 255).astype(
+            np.uint8)).save(buf, format="PNG")
+        boundary = uuid.uuid4().hex
+        parts = []
+        for name, val in (("camera", b"Microscope"),
+                          ("debayer", b"bilinear"),
+                          ("sharpening", b"sharpening_filter"),
+                          ("denoising", b"median_denoising")):
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; '
+                f'name="{name}"\r\n\r\n'.encode() + val + b"\r\n")
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="file"; filename="m.png"\r\n'
+            f'Content-Type: image/png\r\n\r\n'.encode()
+            + buf.getvalue() + b"\r\n")
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"{base}/process", data=body, method="POST",
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        resp = urllib.request.urlopen(req, timeout=120)
+        assert resp.headers["Content-Type"] == "image/png"
+        out = Image.open(io.BytesIO(resp.read()))
+        assert out.size == (32, 32) and out.mode == "RGB"
+
+        # error path: POST without a file reports 400, not a hang/500
+        req = urllib.request.Request(
+            f"{base}/process", data=f"--{boundary}--\r\n".encode(),
+            method="POST",
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
