@@ -128,20 +128,27 @@ def main():
         stats = {k: v for k, v in variables.items() if k != "params"}
 
         if name == "head":
-            def loss_fn(params, x, mod=mod, stats=stats):
+            def loss_fn(params, x, cot, mod=mod, stats=stats):
                 out = mod.apply({"params": params, **stats}, x, labels,
                                 mutable=list(stats) or False)
-                return out[0] if stats else out
+                return (out[0] if stats else out) + 0.0 * jnp.sum(cot)
+            cot = jnp.zeros((), jnp.float32)
         else:
             # fixed-cotangent scalarization: sum(out * cot) makes the
             # backward carry the same activation-sized cotangents the
-            # full step does
-            out_probe = mod.apply(variables, x,
-                                  mutable=list(stats) or False)
-            out0 = out_probe[0] if stats else out_probe
+            # full step does. The cotangent is an ARGUMENT, not a
+            # closure constant — a closed-over (256,128,128,64) array
+            # would be baked into the HLO and blow the remote-compile
+            # request limit (HTTP 413, measured). eval_shape (no
+            # compile) gets the output aval; eager probes would pay a
+            # remote compile per op on this backend.
+            out_shape = jax.eval_shape(
+                lambda v, x: mod.apply(v, x, mutable=list(stats) or False),
+                variables, x)
+            out0 = out_shape[0] if stats else out_shape
             cot = jnp.asarray(rng.normal(size=out0.shape), out0.dtype)
 
-            def loss_fn(params, x, mod=mod, stats=stats, cot=cot):
+            def loss_fn(params, x, cot, mod=mod, stats=stats):
                 out = mod.apply({"params": params, **stats}, x,
                                 mutable=list(stats) or False)
                 o = out[0] if stats else out
@@ -149,7 +156,7 @@ def main():
                                * cot.astype(jnp.float32))
 
         grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
-        args = (params, x)
+        args = (params, x, cot)
         flops, nbytes = cost(grad_fn.lower(*args).compile())
         dt = time_program(grad_fn, args, steps, lambda o: o[0])
         total += dt
