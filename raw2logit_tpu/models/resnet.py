@@ -20,6 +20,32 @@ import numpy as np
 ModuleDef = Any
 
 
+def stem_max_pool(y, two_stage=False):
+    """The stem's 3x3/2 maxpool (torchvision layout: pad 1 both sides).
+
+    two_stage=True applies the exact algebraic decomposition
+    3x3/2(pad 1) == [2x2/1, pad (1,0)] then [2x2/2, VALID]: per axis,
+    max(a[2i], a[2i+1]) with a[j] = max(x[j-1], x[j]) covers
+    x[2i-1..2i+1] — identical taps, so outputs are bit-equal. The idea
+    was to replace the 3x3/2 backward's overlapping select-and-scatter
+    with two small ones (one non-overlapping). MEASURED DEAD END on the
+    chip: 24.3 ms fwd+bwd vs 7.3 ms for the canonical 3x3 at batch 256
+    bf16 (tools/pool_micro.py -> results/pool_micro.json) — the
+    intermediate (B,129,129,64) plane costs more HBM traffic than the
+    overlap saves. Kept (default off) as the documented probe; joins
+    round 3's gather rewrite (26.9 ms) and space-to-depth stem as
+    measured stem dead ends.
+    """
+    # the decomposition covers the last row/column differently when a
+    # spatial dim is odd (output would shrink by one), so it only applies
+    # to even dims — always true for the 256x256 contract (stem is 128)
+    if not two_stage or y.shape[1] % 2 or y.shape[2] % 2:
+        return nn.max_pool(y, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+    a = nn.max_pool(y, (2, 2), strides=(1, 1), padding=((1, 0), (1, 0)))
+    return nn.max_pool(a, (2, 2), strides=(2, 2), padding="VALID")
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: Tuple[int, int] = (1, 1)
@@ -90,6 +116,9 @@ class ResNet(nn.Module):
     num_filters: int = 64
     in_channels: int = 3
     dtype: Any = jnp.float32
+    # exact 2-stage stem-pool decomposition (see stem_max_pool); parameter
+    # trees are identical either way, so the flag is checkpoint-compatible
+    pool_two_stage: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False,
@@ -106,7 +135,7 @@ class ResNet(nn.Module):
         y = nn.relu(y)
         feats.append(y)  # 1/2
 
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        y = stem_max_pool(y, two_stage=self.pool_two_stage)
         stage_sizes = (self.stage_sizes[: max(depth - 1, 0)]
                        if return_features else self.stage_sizes)
         for i, block_count in enumerate(stage_sizes):
