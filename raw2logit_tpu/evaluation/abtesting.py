@@ -92,14 +92,7 @@ class ABTesting:
 
     def _load_model_uncached(self, checkpoint_path, network,
                              smp_encoder):
-        if self.task == "classification":
-            classifier = resnet_model(
-                network, fc_out_features=len(self.dataset.classes))
-        else:
-            classifier = UNetPlusPlus(encoder_name=smp_encoder,
-                                      encoder_depth=5,
-                                      decoder_channels=(256, 128, 64, 32, 16),
-                                      classes=1)
+        classifier = self._build_classifier(network, smp_encoder)
         sample = jnp.zeros((1, self.image_size, self.image_size, 3),
                            jnp.float32)
         variables = classifier.init(jax.random.key(0), sample, train=False)
@@ -108,20 +101,63 @@ class ABTesting:
             "batch_stats": variables.get("batch_stats", {})})
         return classifier, restored
 
+    def _build_classifier(self, network="resnet18", smp_encoder="resnet34"):
+        """Architecture only (flax modules are stateless: one instance
+        serves every fold's variables)."""
+        if self.task == "classification":
+            return resnet_model(
+                network, fc_out_features=len(self.dataset.classes))
+        return UNetPlusPlus(encoder_name=smp_encoder,
+                            encoder_depth=5,
+                            decoder_channels=(256, 128, 64, 32, 16),
+                            classes=1)
+
     # -- evaluation core ---------------------------------------------------
 
-    def _eval_fn(self, classifier, clf_variables, test_pipeline,
+    def _eval_fn(self, classifier, test_pipeline,
                  corruption="identity", severity=None):
+        """Jitted cell program with the checkpoint VARIABLES as an
+        argument (not a closure capture): one trace serves every fold of
+        a cell, and — cached per test pipeline in ab_make_table — every
+        train-model row of a column. The reference re-builds its whole
+        eval stack per cell (static_pip_val + model fetch,
+        ABtesting.py:175-226); keeping one traced program per distinct
+        graph is the XLA-native version of that loop."""
         severity = self.severity if severity is None else severity
 
         @jax.jit
-        def run(raw, key):
+        def run(clf_variables, raw, key):
             rgb = test_pipeline(raw)
             rgb = distort(key, rgb, corruption, severity)
             rgb = (rgb - self.mean) / self.std
             logits = classifier.apply(clf_variables, rgb, train=False)
             return logits
 
+        return run
+
+    def _run_for(self, network, debayer, sharpening, denoising,
+                 corruption="identity", severity=None,
+                 smp_encoder="resnet34"):
+        """Build (and memoize) the jitted cell program for one
+        (architecture, test pipeline, corruption, severity) combination."""
+        cache_key = (network, smp_encoder, debayer, sharpening, denoising,
+                     corruption, severity)
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
+        classifier = self._build_classifier(network, smp_encoder)
+        pipe = StaticPipeline(
+            camera_parameters=self.dataset.camera_parameters,
+            debayer=debayer, sharpening=sharpening, denoising=denoising)
+        run = self._eval_fn(classifier, pipe, corruption, severity)
+        # bounded FIFO: the AB matrix reuses 12 column programs; the C
+        # battery's 660 (pipeline, corruption, severity) programs are each
+        # used for one cell only — holding them all would leak executables
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = run
         return run
 
     def evaluate(self, classifier, clf_variables, valid_indices,
@@ -132,8 +168,11 @@ class ABTesting:
         pipe = StaticPipeline(
             camera_parameters=self.dataset.camera_parameters,
             debayer=debayer, sharpening=sharpening, denoising=denoising)
-        run = self._eval_fn(classifier, clf_variables, pipe, corruption,
-                            severity)
+        run = self._eval_fn(classifier, pipe, corruption, severity)
+        return self._evaluate_with(run, clf_variables, valid_indices,
+                                   seed=seed)
+
+    def _evaluate_with(self, run, clf_variables, valid_indices, seed=0):
         subset = Subset(self.dataset, valid_indices)
         loader = Loader(subset, self.batch_size, shuffle=False,
                         drop_last=False)
@@ -155,7 +194,7 @@ class ABTesting:
             for raw, y in loader:
                 key, sub = jax.random.split(key)
                 raw_p, n = padded(np.asarray(raw))
-                logits = run(jnp.asarray(raw_p), sub)
+                logits = run(clf_variables, jnp.asarray(raw_p), sub)
                 cm.update(np.argmax(np.asarray(logits)[:n], axis=-1), y)
             return cm.summary()
 
@@ -166,7 +205,7 @@ class ABTesting:
         for raw, y in loader:
             key, sub = jax.random.split(key)
             raw_p, n = padded(np.asarray(raw))
-            logits = run(jnp.asarray(raw_p), sub)[:n]
+            logits = run(clf_variables, jnp.asarray(raw_p), sub)[:n]
             probs = np.asarray(jax.nn.sigmoid(logits))
             if probs.ndim == 4 and probs.shape[-1] == 1:
                 probs = probs[..., 0]
@@ -202,15 +241,21 @@ class ABTesting:
 
     def evaluate_runs(self, ckpts, valid_indices, db, sh, dn,
                       corruption="identity", severity=None,
-                      network="resnet18", n_runs=None):
+                      network="resnet18", n_runs=None, run_fn=None):
         """One table cell aggregated over fold-runs: mean/sample-std per
-        metric (metrics.over_N_runs, ABtesting.py:93-104,213-226)."""
+        metric (metrics.over_N_runs, ABtesting.py:93-104,213-226).
+
+        The jitted cell program is built once (or passed in via run_fn by
+        the table loops, which share it across all rows of a column) and
+        reused for every fold — the checkpoint variables are a program
+        ARGUMENT, so folds differ only in data."""
+        if run_fn is None:
+            run_fn = self._run_for(network, db, sh, dn,
+                                   corruption=corruption, severity=severity)
         summaries = []
         for ckpt_path, idx in self._fold_runs(ckpts, valid_indices, n_runs):
-            classifier, variables = self.load_model(ckpt_path, network)
-            summaries.append(self.evaluate(
-                classifier, variables, idx, db, sh, dn,
-                corruption=corruption, severity=severity))
+            _, variables = self.load_model(ckpt_path, network)
+            summaries.append(self._evaluate_with(run_fn, variables, idx))
         return over_n_runs(summaries)
 
     # -- tables -------------------------------------------------------------
@@ -226,7 +271,7 @@ class ABTesting:
         test_grid: optional subset of pipeline triples for the columns.
         n_runs: evaluate at most this many folds per cell (--N_runs).
         """
-        table = {}
+        table = self._load_partial(out_path)
         grid = pipeline_grid()
         cols = test_grid if test_grid is not None else grid
         for (db_t, sh_t, dn_t) in grid:
@@ -235,37 +280,63 @@ class ABTesting:
                 continue
             for (db_e, sh_e, dn_e) in cols:
                 ename = pipeline_name(db_e, sh_e, dn_e)
+                cell = f"{tname}__VS__{ename}"
+                if cell in table:
+                    continue
                 mets = self.evaluate_runs(checkpoints[tname], valid_indices,
                                           db_e, sh_e, dn_e, network=network,
                                           n_runs=n_runs)
-                table[f"{tname}__VS__{ename}"] = mets
-                print(f"{tname} vs {ename}: {mets}")
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        with open(out_path, "w") as fh:
-            json.dump(table, fh, indent=2)
+                table[cell] = mets
+                print(f"{tname} vs {ename}: {mets}", flush=True)
+                self._dump_partial(table, out_path)
+        self._dump_partial(table, out_path)
         return table
+
+    @staticmethod
+    def _load_partial(out_path):
+        """Resume support: an interrupted table run (budgeted sweeps run
+        under `timeout`) keeps its completed cells; re-running skips them."""
+        if out_path and os.path.exists(out_path):
+            with open(out_path) as fh:
+                try:
+                    return json.load(fh)
+                except ValueError:
+                    return {}
+        return {}
+
+    @staticmethod
+    def _dump_partial(table, out_path):
+        """Write-through after every cell (atomic rename) so a timeout or
+        crash never loses completed cells."""
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(table, fh, indent=2)
+        os.replace(tmp, out_path)
 
     def c_make_table(self, checkpoints, valid_indices, out_path,
                      network="resnet18", severities=(1, 2, 3, 4, 5),
                      n_runs=None):
         """Pipelines x corruptions x severities (CMakeTable,
         ABtesting.py:625-700), fold-aggregated like ab_make_table."""
-        table = {}
+        table = self._load_partial(out_path)
         for (db, sh, dn) in pipeline_grid():
             name = pipeline_name(db, sh, dn)
             if name not in checkpoints:
                 continue
             for corr in CORRUPTION_LIST:
                 for sev in severities:
+                    cell = f"{name}__{corr}__s{sev}"
+                    if cell in table:
+                        continue
                     mets = self.evaluate_runs(
                         checkpoints[name], valid_indices, db, sh, dn,
                         corruption=corr, severity=sev, network=network,
                         n_runs=n_runs)
-                    table[f"{name}__{corr}__s{sev}"] = mets
+                    table[cell] = mets
                     print(f"{name} x {corr} s{sev}: {mets}", flush=True)
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        with open(out_path, "w") as fh:
-            json.dump(table, fh, indent=2)
+                    self._dump_partial(table, out_path)
+        self._dump_partial(table, out_path)
         return table
 
     # -- model-involved image panels ----------------------------------------

@@ -294,3 +294,38 @@ def test_app_http_demo_serves_end_to_end(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_make_table_incremental_and_resume(tmp_path):
+    """Tables write through after every cell (atomic) and a re-run skips
+    cells already present — budgeted sweep stages run under `timeout`, so
+    an interrupted table keeps its completed cells (round-4 sweep)."""
+    ab = ABTesting("SyntheticMicroscopy", batch_size=4)
+    n_classes = len(ab.dataset.classes)
+    ckpt = _tiny_trained_checkpoint(tmp_path, n_classes, "r")
+    out = str(tmp_path / "tables" / "ab.json")
+    grid = [("bilinear", "sharpening_filter", "gaussian_denoising")]
+    name = "bilinear_sharpening_filter_gaussian_denoising"
+    checkpoints = {name: [ckpt]}
+
+    table = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
+                             test_grid=grid)
+    assert os.path.exists(out)
+    assert list(table) == [f"{name}__VS__{name}"]
+
+    # pre-existing cells are skipped: poison the stored cell and re-run —
+    # a recompute would overwrite the sentinel
+    table[f"{name}__VS__{name}"] = {"accuracy_mean": -1.0}
+    with open(out, "w") as fh:
+        json.dump(table, fh)
+    table2 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
+                              test_grid=grid)
+    assert table2[f"{name}__VS__{name}"] == {"accuracy_mean": -1.0}
+
+    # corrupt/partial JSON resumes from empty instead of crashing
+    with open(out, "w") as fh:
+        fh.write("{ not json")
+    table3 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
+                              test_grid=grid)
+    assert f"{name}__VS__{name}" in table3
+    assert table3[f"{name}__VS__{name}"] != {"accuracy_mean": -1.0}

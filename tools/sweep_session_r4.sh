@@ -6,6 +6,11 @@
 # statistically decorative. CPU-only (single core; run with the TPU
 # session finished so the timings there stay clean).
 #
+# Commits each artifact as it lands (the driving sessions this round
+# have died mid-run more than once), and every stage runs under a hard
+# timeout so the sweep cannot still be running when the round-end
+# driver takes the machine for bench.py.
+#
 # Reference analog: figures/train.sh:52-81 (12 pipelines x augs x 5
 # folds, 100 epochs) driven by sequential bash loops; epochs here follow
 # VERDICT r3 item 9's "even at few epochs" budget note.
@@ -17,28 +22,47 @@ CPU_ENV=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE
          JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tests)
 
 run() {
+  local budget="$1"; shift
   echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"
-  "$@" 2>&1 | tee -a "$LOG"
+  timeout "$budget" "$@" 2>&1 | tee -a "$LOG"
   echo "=== rc=$? $(date +%H:%M:%S)" | tee -a "$LOG"
 }
 
-run "${CPU_ENV[@]}" python -m raw2logit_tpu.training.sweep \
+commit() {
+  local msg="$1"; shift
+  local have=()
+  for p in "$@"; do [ -e "$p" ] && have+=("$p"); done
+  if [ "${#have[@]}" -gt 0 ]; then
+    git add -A "${have[@]}" "$LOG" 2>/dev/null
+    git commit -q -m "$msg" && echo "committed: $msg" | tee -a "$LOG"
+  fi
+}
+
+run "${SWEEP_BUDGET:-5400}" "${CPU_ENV[@]}" python -m raw2logit_tpu.training.sweep \
   --datasets SyntheticMicroscopy --augmentations weak \
   --epochs 3 --batch_size 8 --lr 1e-3 --n_splits 5 \
   --out results/sweep_manifest_r4.json
+commit "sweep: 12 pipelines x 5 folds x 3 epochs manifest (item 9)" \
+  results/sweep_manifest_r4.json
 
-run "${CPU_ENV[@]}" python figures/ABtesting.py --mode ABMakeTable \
+# the round-3 n_runs=2 tables live at the same paths; the table builders
+# resume from any existing file (skipping completed cells), so the stale
+# tables must go first — an interrupted r4 run then resumes ITS OWN cells
+rm -f results/ABtesting/tables/ABtable_SyntheticMicroscopy_weak.json \
+      results/ABtesting/tables/Ctable_SyntheticMicroscopy_weak.json
+
+run "${AB_BUDGET:-3600}" "${CPU_ENV[@]}" python figures/ABtesting.py --mode ABMakeTable \
   --dataset_name SyntheticMicroscopy --augmentation weak --N_runs 5 \
   --checkpoints_json results/sweep_manifest_r4.json
-
-run "${CPU_ENV[@]}" python figures/ABtesting.py --mode ABShowTable \
+run 600 "${CPU_ENV[@]}" python figures/ABtesting.py --mode ABShowTable \
   --dataset_name SyntheticMicroscopy --augmentation weak
+commit "AB tables refreshed at n_runs=5 (144 cells)" results/ABtesting
 
-run "${CPU_ENV[@]}" python figures/ABtesting.py --mode CMakeTable \
+run "${C_BUDGET:-4500}" "${CPU_ENV[@]}" python figures/ABtesting.py --mode CMakeTable \
   --dataset_name SyntheticMicroscopy --augmentation weak --N_runs 5 \
   --checkpoints_json results/sweep_manifest_r4.json
-
-run "${CPU_ENV[@]}" python figures/ABtesting.py --mode CShowTable \
+run 600 "${CPU_ENV[@]}" python figures/ABtesting.py --mode CShowTable \
   --dataset_name SyntheticMicroscopy --augmentation weak
+commit "C corruption tables refreshed at n_runs=5 (660 cells)" results/ABtesting
 
 echo "=== sweep session done $(date)" | tee -a "$LOG"
