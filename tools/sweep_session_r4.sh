@@ -45,11 +45,11 @@ run "${SWEEP_BUDGET:-5400}" "${CPU_ENV[@]}" python -m raw2logit_tpu.training.swe
 commit "sweep: 12 pipelines x 5 folds x 3 epochs manifest (item 9)" \
   results/sweep_manifest_r4.json
 
-# the round-3 n_runs=2 tables live at the same paths; the table builders
-# resume from any existing file (skipping completed cells), so the stale
-# tables must go first — an interrupted r4 run then resumes ITS OWN cells
-rm -f results/ABtesting/tables/ABtable_SyntheticMicroscopy_weak.json \
-      results/ABtesting/tables/Ctable_SyntheticMicroscopy_weak.json
+# The table builders RESUME from any existing file at the canonical
+# paths (completed cells are skipped), so re-running this script
+# continues a budget-truncated C battery instead of starting over. The
+# round-3 n_runs=2 tables were moved to *_r3_nruns2.json first (they
+# would otherwise be mistaken for completed n_runs=5 cells).
 
 run "${AB_BUDGET:-3600}" "${CPU_ENV[@]}" python figures/ABtesting.py --mode ABMakeTable \
   --dataset_name SyntheticMicroscopy --augmentation weak --N_runs 5 \
