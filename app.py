@@ -127,7 +127,16 @@ def make_server(host="127.0.0.1", port=7860):
                 self._send(404, "text/plain", b"not found")
                 return
             try:
-                body = self.rfile.read(int(self.headers["Content-Length"]))
+                length = self.headers["Content-Length"]
+                if length is None:
+                    self._send(411, "text/plain", b"length required")
+                    return
+                # Content-Length is client-controlled: reading an
+                # arbitrarily large body into memory is a one-request OOM
+                if int(length) > 64 * 1024 * 1024:
+                    self._send(413, "text/plain", b"payload too large")
+                    return
+                body = self.rfile.read(int(length))
                 fields = _parse_multipart(self.headers["Content-Type"],
                                           body)
                 with tempfile.NamedTemporaryFile(suffix=".png") as fh:

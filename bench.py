@@ -363,13 +363,17 @@ def main():
 
     kind = "train" if used_mode != "infer" else "infer"
     try:
+        # resolve the cache against the repo directory like
+        # _family_baseline_file — a cwd-relative path would miss the
+        # committed cache (and re-measure) when run from elsewhere
+        infer_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "results", "torch_baseline_infer.json")
         if family == "classification" and kind == "train":
             baseline = get_torch_baseline()
-        elif family == "classification" and not os.path.exists(
-                "results/torch_baseline_infer.json"):
+        elif family == "classification" and not os.path.exists(infer_cache):
             baseline = measure_torch_cpu(train=False)
-            os.makedirs("results", exist_ok=True)
-            with open("results/torch_baseline_infer.json", "w") as fh:
+            os.makedirs(os.path.dirname(infer_cache), exist_ok=True)
+            with open(infer_cache, "w") as fh:
                 json.dump({"imgs_per_sec": baseline}, fh)
         else:
             baseline = _family_baseline_file(family, kind)

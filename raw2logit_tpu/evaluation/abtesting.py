@@ -14,6 +14,7 @@ run as ONE jitted batched graph per configuration; the reference loops
 per-image on CPU through DataLoader workers (ABtesting.py:200-211).
 """
 
+import hashlib
 import itertools
 import json
 import os
@@ -23,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from raw2logit_tpu.data import Loader, Subset, get_dataset
+from raw2logit_tpu.data.precompute import (PrecomputedRGBView,
+                                           precompute_pipeline_rgb)
 from raw2logit_tpu.data.datasets import DATASET_STATS
 from raw2logit_tpu.evaluation.corruptions import distort
 from raw2logit_tpu.evaluation.metrics import ConfusionMetrics, over_n_runs
@@ -60,13 +63,19 @@ class ABTesting:
     """
 
     def __init__(self, dataset_name, batch_size=32, data_root="data",
-                 severity=1, image_size=256, **dataset_kwargs):
+                 severity=1, image_size=256, precompute_rgb=True,
+                 **dataset_kwargs):
         self.dataset_name = dataset_name
         self.image_size = image_size
         self.dataset = get_dataset(dataset_name, **dataset_kwargs)
         self.task = self.dataset.task
         self.batch_size = batch_size
         self.severity = severity
+        # hoist the loop-invariant static ISP out of the cell programs
+        # (see data/precompute.py): every cell of a row/column shares one
+        # whole-dataset RGB array, and the jitted cell program shrinks to
+        # corruption + normalize + classifier
+        self.precompute_rgb = precompute_rgb
         stats = DATASET_STATS.get(
             dataset_name.replace("Synthetic", ""), DATASET_STATS["Microscopy"])
         self.mean = jnp.asarray(stats["mean"], jnp.float32)
@@ -140,6 +149,10 @@ class ABTesting:
                  smp_encoder="resnet34"):
         """Build (and memoize) the jitted cell program for one
         (architecture, test pipeline, corruption, severity) combination."""
+        # resolve before keying: severity=None and severity==self.severity
+        # are the same program — two cache entries (or a stale one if
+        # self.severity were later mutated) would alias it
+        severity = self.severity if severity is None else severity
         cache_key = (network, smp_encoder, debayer, sharpening, denoising,
                      corruption, severity)
         cache = getattr(self, "_run_cache", None)
@@ -160,6 +173,63 @@ class ABTesting:
         cache[cache_key] = run
         return run
 
+    def _eval_fn_rgb(self, classifier, corruption="identity",
+                     severity=None):
+        """Cell program over PRECOMPUTED pipeline RGB: corruption +
+        normalize + classifier only. The split at the rgb boundary is
+        exact — the in-graph path computes the identical ops in the same
+        order (pipeline -> distort -> normalize -> model), it just fuses
+        them into one program (equality unit-tested)."""
+        severity = self.severity if severity is None else severity
+
+        @jax.jit
+        def run(clf_variables, rgb, key):
+            rgb = distort(key, rgb, corruption, severity)
+            rgb = (rgb - self.mean) / self.std
+            return classifier.apply(clf_variables, rgb, train=False)
+
+        return run
+
+    def _run_for_rgb(self, network, corruption="identity", severity=None,
+                     smp_encoder="resnet34"):
+        """Memoized rgb-input cell program. Shared by EVERY pipeline:
+        the C battery runs 55 programs total (corruption x severity)
+        instead of 660, the AB matrix exactly one."""
+        severity = self.severity if severity is None else severity
+        cache_key = (network, smp_encoder, None, None, None,
+                     corruption, severity)
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
+        classifier = self._build_classifier(network, smp_encoder)
+        run = self._eval_fn_rgb(classifier, corruption, severity)
+        while len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = run
+        return run
+
+    def _pipeline_rgb(self, db, sh, dn):
+        """Whole-dataset ISP output of one static pipeline, computed once
+        through a single jitted batched program. Bounded cache of 2 — the
+        table loops visit pipelines sequentially (ab_make_table iterates
+        column-major so each test pipeline's array is live exactly once)."""
+        name = pipeline_name(db, sh, dn)
+        cache = getattr(self, "_rgb_cache", None)
+        if cache is None:
+            cache = self._rgb_cache = {}
+        if name in cache:
+            return cache[name]
+        pipe = StaticPipeline(
+            camera_parameters=self.dataset.camera_parameters,
+            debayer=db, sharpening=sh, denoising=dn)
+        rgb = precompute_pipeline_rgb(self.dataset, pipe, self.batch_size)
+        while len(cache) >= 2:
+            cache.pop(next(iter(cache)))
+        cache[name] = rgb
+        return rgb
+
     def evaluate(self, classifier, clf_variables, valid_indices,
                  debayer, sharpening, denoising, corruption="identity",
                  seed=0, severity=None):
@@ -172,8 +242,11 @@ class ABTesting:
         return self._evaluate_with(run, clf_variables, valid_indices,
                                    seed=seed)
 
-    def _evaluate_with(self, run, clf_variables, valid_indices, seed=0):
-        subset = Subset(self.dataset, valid_indices)
+    def _evaluate_with(self, run, clf_variables, valid_indices, seed=0,
+                       rgb_all=None):
+        base = (PrecomputedRGBView(self.dataset, rgb_all)
+                if rgb_all is not None else self.dataset)
+        subset = Subset(base, valid_indices)
         loader = Loader(subset, self.batch_size, shuffle=False,
                         drop_last=False)
         key = jax.random.key(seed)
@@ -248,14 +321,24 @@ class ABTesting:
         The jitted cell program is built once (or passed in via run_fn by
         the table loops, which share it across all rows of a column) and
         reused for every fold — the checkpoint variables are a program
-        ARGUMENT, so folds differ only in data."""
-        if run_fn is None:
+        ARGUMENT, so folds differ only in data. With precompute_rgb the
+        pipeline leaves the program too: the cell reads the memoized
+        whole-dataset RGB array and the program is corruption +
+        normalize + classifier."""
+        rgb_all = None
+        if self.precompute_rgb:
+            rgb_all = self._pipeline_rgb(db, sh, dn)
+            if run_fn is None:
+                run_fn = self._run_for_rgb(network, corruption=corruption,
+                                           severity=severity)
+        elif run_fn is None:
             run_fn = self._run_for(network, db, sh, dn,
                                    corruption=corruption, severity=severity)
         summaries = []
         for ckpt_path, idx in self._fold_runs(ckpts, valid_indices, n_runs):
             _, variables = self.load_model(ckpt_path, network)
-            summaries.append(self._evaluate_with(run_fn, variables, idx))
+            summaries.append(self._evaluate_with(run_fn, variables, idx,
+                                                 rgb_all=rgb_all))
         return over_n_runs(summaries)
 
     # -- tables -------------------------------------------------------------
@@ -270,16 +353,21 @@ class ABTesting:
         valid_indices: shared index list or one list per fold.
         test_grid: optional subset of pipeline triples for the columns.
         n_runs: evaluate at most this many folds per cell (--N_runs).
+
+        Iterates COLUMN-major (test pipeline outer): each test pipeline's
+        precomputed RGB array is built once and consumed by all 12 rows
+        before the next column evicts it.
         """
-        table = self._load_partial(out_path)
+        meta = self._table_meta(checkpoints, valid_indices, network, n_runs)
+        table = self._load_partial(out_path, meta)
         grid = pipeline_grid()
         cols = test_grid if test_grid is not None else grid
-        for (db_t, sh_t, dn_t) in grid:
-            tname = pipeline_name(db_t, sh_t, dn_t)
-            if tname not in checkpoints:
-                continue
-            for (db_e, sh_e, dn_e) in cols:
-                ename = pipeline_name(db_e, sh_e, dn_e)
+        for (db_e, sh_e, dn_e) in cols:
+            ename = pipeline_name(db_e, sh_e, dn_e)
+            for (db_t, sh_t, dn_t) in grid:
+                tname = pipeline_name(db_t, sh_t, dn_t)
+                if tname not in checkpoints:
+                    continue
                 cell = f"{tname}__VS__{ename}"
                 if cell in table:
                     continue
@@ -293,16 +381,42 @@ class ABTesting:
         return table
 
     @staticmethod
-    def _load_partial(out_path):
+    def _table_meta(checkpoints, valid_indices, network, n_runs,
+                    **extra):
+        """Config fingerprint stored in the table file under '_meta'. A
+        resumed run whose config changed (n_runs, checkpoint set, fold
+        indices...) must NOT silently keep stale cells — the round-4
+        n_runs 2->5 refresh only avoided a mixed-provenance table by
+        manually renaming the old files."""
+        def _h(obj):
+            return hashlib.sha1(
+                json.dumps(obj, sort_keys=True, default=str)
+                .encode()).hexdigest()[:16]
+
+        return {"n_runs": n_runs, "network": network,
+                "checkpoints_hash": _h(checkpoints),
+                "valid_indices_hash": _h(valid_indices), **extra}
+
+    @staticmethod
+    def _load_partial(out_path, meta=None):
         """Resume support: an interrupted table run (budgeted sweeps run
-        under `timeout`) keeps its completed cells; re-running skips them."""
+        under `timeout`) keeps its completed cells; re-running skips them.
+        A table whose stored '_meta' fingerprint mismatches the current
+        config is DISCARDED (all cells recomputed), never mixed."""
+        table = {}
         if out_path and os.path.exists(out_path):
             with open(out_path) as fh:
                 try:
-                    return json.load(fh)
+                    table = json.load(fh)
                 except ValueError:
-                    return {}
-        return {}
+                    table = {}
+        if meta is not None:
+            if table and table.get("_meta") != meta:
+                print(f"discarding {out_path}: config fingerprint changed "
+                      f"({table.get('_meta')} -> {meta})", flush=True)
+                table = {}
+            table["_meta"] = meta
+        return table
 
     @staticmethod
     def _dump_partial(table, out_path):
@@ -319,7 +433,9 @@ class ABTesting:
                      n_runs=None):
         """Pipelines x corruptions x severities (CMakeTable,
         ABtesting.py:625-700), fold-aggregated like ab_make_table."""
-        table = self._load_partial(out_path)
+        meta = self._table_meta(checkpoints, valid_indices, network, n_runs,
+                                severities=list(severities))
+        table = self._load_partial(out_path, meta)
         for (db, sh, dn) in pipeline_grid():
             name = pipeline_name(db, sh, dn)
             if name not in checkpoints:
@@ -472,12 +588,15 @@ def ab_show_table(table_path, metric="accuracy", out_png=None):
         table = json.load(fh)
     # rows and columns are DIFFERENT sets in general: a partial sweep has
     # few trained pipelines but all 12 test columns (ABMakeTable with an
-    # incomplete checkpoints dict, or test_grid)
-    rows = sorted({k.split("__VS__")[0] for k in table})
-    cols = sorted({k.split("__VS__")[1] for k in table})
+    # incomplete checkpoints dict, or test_grid); '_meta' is the config
+    # fingerprint, not a cell
+    rows = sorted({k.split("__VS__")[0] for k in table if "__VS__" in k})
+    cols = sorted({k.split("__VS__")[1] for k in table if "__VS__" in k})
     mat = np.full((len(rows), len(cols)), np.nan)
     sig = np.full((len(rows), len(cols)), np.nan)
     for k, v in table.items():
+        if "__VS__" not in k:
+            continue
         a, b = k.split("__VS__")
         mkey = (f"{metric}_mean" if f"{metric}_mean" in v
                 else metric if metric in v
@@ -517,7 +636,8 @@ def c_show_table(table_path, metric="accuracy", out_png=None):
 
     with open(table_path) as fh:
         table = json.load(fh)
-    pipelines = sorted({k.split("__")[0] for k in table})
+    pipelines = sorted({k.split("__")[0] for k in table
+                        if "__" in k and not k.startswith("_")})
     corruptions = [c for c in CORRUPTION_LIST
                    if any(f"__{c}__" in k for k in table)]
     mat = np.full((len(pipelines), len(corruptions)), np.nan)

@@ -86,6 +86,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--precompute_static", action="store_true",
+                   help="hoist the static ISP out of the per-step graph "
+                        "(train.py --precompute_static)")
+    p.add_argument("--check_val_every_n_epoch", type=int, default=1)
     p.add_argument("--n_splits", type=int, default=5)
     p.add_argument("--shard", type=int, default=0,
                    help="this host's shard of the grid")
@@ -94,8 +99,17 @@ def main(argv=None):
     p.add_argument("--out", default="results/sweep_manifest.json")
     args = p.parse_args(argv)
 
+    extra = []
+    if args.weight_decay:
+        extra += ["--weight_decay", str(args.weight_decay)]
+    if args.precompute_static:
+        extra += ["--precompute_static"]
+    if args.check_val_every_n_epoch != 1:
+        extra += ["--check_val_every_n_epoch",
+                  str(args.check_val_every_n_epoch)]
     jobs = build_grid(args.datasets, args.augmentations, args.epochs,
-                      args.batch_size, args.lr, args.n_splits)
+                      args.batch_size, args.lr, args.n_splits,
+                      extra_flags=tuple(extra))
     manifest = run_sweep(jobs, shard=args.shard, n_shards=args.n_shards,
                          dry_run=args.dry_run)
     if os.path.dirname(args.out):  # bare filename -> cwd

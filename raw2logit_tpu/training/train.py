@@ -135,6 +135,17 @@ def build_parser():
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas ISP kernel (parametrized mode, "
                         "no stage tracking)")
+    p.add_argument("--precompute_static", action="store_true",
+                   help="static mode only: run the (deterministic) static "
+                        "pipeline + normalization over the dataset ONCE "
+                        "through one jitted program and train the task "
+                        "model on the cached RGB — identical math "
+                        "(augmentation applies after processing either "
+                        "way), the ISP leaves the per-step graph")
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="coupled L2 weight decay (torch.optim.Adam "
+                        "semantics, reference model.py:144-146 hardcodes "
+                        "0; exposed for sweep recipes)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train steps "
                         "into the run dir")
@@ -250,6 +261,30 @@ def run_train(args):
     idxs_kfold = k_fold(dataset, n_splits=args.n_splits, seed=args.seed,
                         train_size=args.train_size)
 
+    precompute = (args.processing_mode == "static"
+                  and getattr(args, "precompute_static", False))
+    if precompute:
+        # hoist the deterministic ISP + normalization out of the epoch
+        # loop: one jitted batched pass over the dataset, then every fold
+        # trains the task model directly on the cached RGB. Exact: the
+        # in-graph static path is stop_gradient(pipeline) -> normalize ->
+        # augment -> model in this order too (_StaticAsModule + _forward).
+        from raw2logit_tpu.data.precompute import (PrecomputedRGBView,
+                                                   precompute_pipeline_rgb)
+        stats = DATASET_STATS.get(
+            args.dataset.replace("Synthetic", ""), None) \
+            or DATASET_STATS["Microscopy"]
+        pipe = StaticPipeline(camera_parameters=dataset.camera_parameters,
+                              debayer=args.sp_debayer,
+                              sharpening=args.sp_sharpening,
+                              denoising=args.sp_denoising)
+        rgb = precompute_pipeline_rgb(dataset, pipe,
+                                      batch_size=args.batch_size)
+        rgb = ((rgb - np.asarray(stats["mean"], np.float32))
+               / np.asarray(stats["std"], np.float32))
+        dataset = PrecomputedRGBView(dataset, rgb)
+        print(f"precomputed static ISP: {rgb.shape} cached")
+
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     # mesh size must divide the batch; use the largest power-of-two-ish
     # common divisor of (batch, devices)
@@ -264,6 +299,7 @@ def run_train(args):
     cfg = TrainConfig(
         task=dataset.task,
         lr=args.lr,
+        weight_decay=getattr(args, "weight_decay", 0.0),
         augmentation=args.augmentation,
         freeze_processor=(args.freeze_processor
                           or args.processing_mode == "static"),
@@ -282,7 +318,9 @@ def run_train(args):
     for k_iter, (train_indices, valid_indices) in enumerate(idxs_kfold):
         print(f"K_fold subset: {k_iter + 1}/{args.n_splits}")
 
-        processor = build_processor(args, dataset, image_size)
+        # precompute: the ISP already ran (dataset yields normalized RGB)
+        processor = (None if precompute
+                     else build_processor(args, dataset, image_size))
         classifier = build_classifier(args, dataset, dtype)
 
         state_dict = {k: v for k, v in vars(args).items()}

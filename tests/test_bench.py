@@ -76,6 +76,10 @@ def test_auto_staged_only_still_reports(monkeypatch, capsys, fake_baseline):
 
 def test_auto_falls_back_to_infer(monkeypatch, capsys, fake_baseline,
                                   tmp_path):
+    """Baseline caches resolve against the REPO directory: run from any
+    cwd, the committed infer cache is found (not re-measured, and no
+    stray copy written into the cwd) — ADVICE r4."""
+    import os
     monkeypatch.chdir(tmp_path)
 
     def fake_child(mode):
@@ -86,7 +90,33 @@ def test_auto_falls_back_to_infer(monkeypatch, capsys, fake_baseline,
     result = _run_main(capsys)
     assert result["metric"] == "raw2logit_infer_throughput"
     assert result["vs_baseline"] == round(9900.0 / 16.0, 2)
+    repo_cache = os.path.join(os.path.dirname(os.path.abspath(
+        bench.__file__)), "results", "torch_baseline_infer.json")
+    with open(repo_cache) as fh:
+        hw = json.load(fh)["imgs_per_sec"]
+    assert result["vs_baseline_handwritten"] == round(9900.0 / hw, 2)
+    assert not (tmp_path / "results" / "torch_baseline_infer.json").exists()
+
+
+def test_infer_baseline_measured_into_repo_cache(monkeypatch, capsys,
+                                                 fake_baseline, tmp_path):
+    """With NO cache next to bench.py, the infer baseline is measured
+    once and written to the repo-anchored path (where the family lookup
+    finds it), regardless of cwd."""
+    fake_repo = tmp_path / "fakerepo"
+    (fake_repo / "results").mkdir(parents=True)
+    monkeypatch.setattr(bench, "__file__", str(fake_repo / "bench.py"))
+    monkeypatch.chdir(tmp_path)
+
+    def fake_child(mode):
+        return 9900.0 if mode == "infer" else None
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    monkeypatch.setenv("BENCH_MODE", "auto")
+    result = _run_main(capsys)
     assert result["vs_baseline_handwritten"] == round(9900.0 / 17.0, 2)
+    with open(fake_repo / "results" / "torch_baseline_infer.json") as fh:
+        assert json.load(fh)["imgs_per_sec"] == 17.0
 
 
 def test_falls_back_to_handwritten_baseline(monkeypatch, capsys,

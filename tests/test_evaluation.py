@@ -70,12 +70,13 @@ def test_ab_show_table_renders_sigma(tmp_path):
     assert os.path.exists(out)
 
 
-def _tiny_trained_checkpoint(tmp_path, n_classes, name="c", seed=0):
+def _tiny_trained_checkpoint(tmp_path, n_classes, name="c", seed=0,
+                             image_size=256):
     """Random-init classifier saved through the checkpoint layer."""
     from raw2logit_tpu.models import resnet_model
     from raw2logit_tpu.training import checkpoint as ckpt
     clf = resnet_model("resnet18", fc_out_features=n_classes)
-    sample = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = clf.init(jax.random.key(seed), sample, train=False)
     path = os.path.join(str(tmp_path), name)
     ckpt.save_state({"params": variables["params"],
@@ -311,21 +312,86 @@ def test_make_table_incremental_and_resume(tmp_path):
     table = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
                              test_grid=grid)
     assert os.path.exists(out)
-    assert list(table) == [f"{name}__VS__{name}"]
+    cell = f"{name}__VS__{name}"
+    assert [k for k in table if k != "_meta"] == [cell]
+    assert table["_meta"]["n_runs"] is None
 
     # pre-existing cells are skipped: poison the stored cell and re-run —
     # a recompute would overwrite the sentinel
-    table[f"{name}__VS__{name}"] = {"accuracy_mean": -1.0}
+    table[cell] = {"accuracy_mean": -1.0}
     with open(out, "w") as fh:
         json.dump(table, fh)
     table2 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
                               test_grid=grid)
-    assert table2[f"{name}__VS__{name}"] == {"accuracy_mean": -1.0}
+    assert table2[cell] == {"accuracy_mean": -1.0}
+
+    # ... but a config-fingerprint change DISCARDS the partial table
+    # instead of publishing a mixed-provenance one (round-4 n_runs 2->5
+    # only avoided that by manually renaming files)
+    table3 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
+                              test_grid=grid, n_runs=1)
+    assert table3[cell] != {"accuracy_mean": -1.0}
+    assert table3["_meta"]["n_runs"] == 1
+
+    # changed valid_indices also discards
+    table4 = ab.ab_make_table(checkpoints, [0, 1, 2, 4], out,
+                              test_grid=grid, n_runs=1)
+    assert table4["_meta"] != table3["_meta"]
 
     # corrupt/partial JSON resumes from empty instead of crashing
     with open(out, "w") as fh:
         fh.write("{ not json")
-    table3 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
+    table5 = ab.ab_make_table(checkpoints, [0, 1, 2, 3], out,
                               test_grid=grid)
-    assert f"{name}__VS__{name}" in table3
-    assert table3[f"{name}__VS__{name}"] != {"accuracy_mean": -1.0}
+    assert cell in table5
+    assert table5[cell] != {"accuracy_mean": -1.0}
+
+
+def test_precompute_rgb_path_matches_in_graph(tmp_path):
+    """The precomputed-RGB cell program (corruption + normalize +
+    classifier over data/precompute.py's cached pipeline output) computes
+    the same logits and metrics as the monolithic in-graph cell program —
+    the split at the rgb boundary is pure program structure."""
+    import jax
+    import jax.numpy as jnp
+    kw = dict(batch_size=4, image_size=64, n=8, h=64, w=64)
+    ab_pre = ABTesting("SyntheticMicroscopy", precompute_rgb=True, **kw)
+    ab_mono = ABTesting("SyntheticMicroscopy", precompute_rgb=False, **kw)
+    ckpt = _tiny_trained_checkpoint(tmp_path, 2, "pc", seed=3,
+                                    image_size=64)
+    pip = ("malvar2004", "unsharp_masking", "median_denoising")
+
+    for corr in ("identity", "gaussian_noise", "contrast"):
+        m_pre = ab_pre.evaluate_runs(ckpt, [0, 1, 2, 3], *pip,
+                                     corruption=corr, severity=2)
+        m_mono = ab_mono.evaluate_runs(ckpt, [0, 1, 2, 3], *pip,
+                                       corruption=corr, severity=2)
+        assert m_pre == m_mono, (corr, m_pre, m_mono)
+
+    # logits-level agreement, not just thresholded metrics
+    raw = jnp.asarray(np.stack([ab_pre.dataset[i][0] for i in range(4)]))
+    _, variables = ab_pre.load_model(ckpt, "resnet18")
+    run_mono = ab_mono._run_for("resnet18", *pip,
+                                corruption="gaussian_noise", severity=2)
+    rgb_all = ab_pre._pipeline_rgb(*pip)
+    run_pre = ab_pre._run_for_rgb("resnet18", corruption="gaussian_noise",
+                                  severity=2)
+    key = jax.random.key(7)
+    lg_mono = run_mono(variables, raw, key)
+    lg_pre = run_pre(variables, jnp.asarray(rgb_all[:4]), key)
+    np.testing.assert_allclose(np.asarray(lg_mono), np.asarray(lg_pre),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_run_for_severity_cache_key_resolves_none(tmp_path):
+    """severity=None and severity==self.severity are the same program —
+    the cache must not hold two entries (or serve a stale one)."""
+    ab = ABTesting("SyntheticMicroscopy", batch_size=4, severity=3,
+                   image_size=64, n=8, h=64, w=64)
+    pip = ("bilinear", "sharpening_filter", "gaussian_denoising")
+    r1 = ab._run_for("resnet18", *pip, corruption="contrast", severity=None)
+    r2 = ab._run_for("resnet18", *pip, corruption="contrast", severity=3)
+    assert r1 is r2
+    r3 = ab._run_for_rgb("resnet18", corruption="contrast", severity=None)
+    r4 = ab._run_for_rgb("resnet18", corruption="contrast", severity=3)
+    assert r3 is r4

@@ -984,3 +984,43 @@ def test_run_train_precondition_asserts():
         run_train(build_parser().parse_args(
             base + ["--adv_training", "--processing_mode", "static",
                     "--freeze_classifier"]))
+
+
+def test_precompute_static_matches_in_graph(tmp_path, monkeypatch):
+    """--precompute_static (data/precompute.py: the deterministic ISP +
+    normalization hoisted out of the per-step graph) trains to the same
+    parameters as the in-graph static path — same fold split, same
+    augmentation draws, same update math."""
+    monkeypatch.chdir(tmp_path)
+    import raw2logit_tpu.training.train as T
+
+    monkeypatch.setattr(
+        T, "get_dataset",
+        lambda name, **kw: SyntheticRawClassification(n=8, h=64, w=64,
+                                                      seed=2))
+
+    def _train(extra):
+        args = T.build_parser().parse_args([
+            "--dataset", "SyntheticMicroscopy", "--processing_mode",
+            "static", "--sp_debayer", "malvar2004", "--sp_denoising",
+            "median_denoising", "--epochs", "2", "--batch_size", "4",
+            "--n_splits", "1", "--lr", "1e-3", "--augmentation", "weak",
+            "--log_model", "False", "--experiment_name", "pc",
+            "--run_name", "pc" + ("1" if extra else "0"), *extra])
+        return T.run_train(args)[0]["state"]
+
+    s_mono = _train([])
+    s_pre = _train(["--precompute_static"])
+
+    import jax.flatten_util
+    flat_m = np.asarray(jax.flatten_util.ravel_pytree(s_mono.clf_params)[0])
+    flat_p = np.asarray(jax.flatten_util.ravel_pytree(s_pre.clf_params)[0])
+    # identical math, different program boundaries: roundoff only — but
+    # Adam turns a roundoff-level gradient difference on a near-zero leaf
+    # into a +-lr-scale update (the update is sign(g)*lr regardless of
+    # |g|), so a handful of elements legitimately differ at O(lr)
+    diff = np.abs(flat_p - flat_m)
+    assert np.max(diff) < 5.0 * 1e-3, np.max(diff)  # few Adam sign flips
+    assert np.mean(diff < 1e-4) > 0.999             # the bulk is identical
+    # the precompute run must not have trained a processor
+    assert not s_pre.proc_params
