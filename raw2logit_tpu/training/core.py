@@ -33,6 +33,8 @@ from raw2logit_tpu.augment import get_augmentation
 class TrainConfig:
     task: str = "classification"          # 'classification' | 'segmentation'
     lr: float = 1e-5
+    lr_schedule: str = "constant"         # 'constant' | 'cosine'
+    total_steps: int = 0                  # cosine horizon (train steps)
     weight_decay: float = 0.0
     augmentation: str = "none"            # 'none' | 'weak' | 'strong'
     augmentation_on_eval: bool = False
@@ -108,14 +110,25 @@ def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
     standalone opt_apply program (measured 3.4-5.5 ms/step at ResNet-18
     scale vs a 1.0 ms HBM roofline — per-program launch overhead plus a
     grads round-trip through HBM) disappears."""
+    def _lr():
+        """Constant (the reference's Adam) or cosine-to-zero over
+        cfg.total_steps — small-data sweep recipes need the FINAL state
+        converged (constant-lr val accuracy oscillates at 6 steps/epoch),
+        and the final state is what gets checkpointed and A/B-evaluated."""
+        if cfg.lr_schedule == "cosine":
+            if cfg.total_steps <= 0:
+                raise ValueError("lr_schedule='cosine' needs total_steps")
+            return optax.cosine_decay_schedule(cfg.lr, cfg.total_steps)
+        return cfg.lr
+
     if split:
         def _side(params, which):
             if cfg.weight_decay:
                 train_tx = optax.chain(
                     optax.add_decayed_weights(cfg.weight_decay),
-                    optax.adam(cfg.lr))
+                    optax.adam(_lr()))
             else:
-                train_tx = optax.adam(cfg.lr)
+                train_tx = optax.adam(_lr())
             return optax.multi_transform(
                 {"train": train_tx, "freeze": optax.set_to_zero()},
                 param_labels=_param_labels(params, cfg, which))
@@ -129,9 +142,9 @@ def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
         if cfg.weight_decay:
             train_tx = optax.chain(
                 optax.add_decayed_weights(cfg.weight_decay),
-                optax.adam(cfg.lr))
+                optax.adam(_lr()))
         else:
-            train_tx = optax.adam(cfg.lr)
+            train_tx = optax.adam(_lr())
         return optax.multi_transform(
             {"train": train_tx, "freeze": optax.set_to_zero()},
             param_labels=labels)
@@ -150,7 +163,7 @@ def make_optimizer(cfg: TrainConfig, proc_params, clf_params,
         mask_flat = jax.flatten_util.ravel_pytree(mask_tree)[0]
     else:
         mask_flat = None
-    inner = optax.adam(cfg.lr)
+    inner = optax.adam(_lr())
 
     def init(params):
         flat = jax.flatten_util.ravel_pytree(params)[0]

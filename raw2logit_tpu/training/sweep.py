@@ -39,20 +39,58 @@ def build_grid(datasets, augmentations, epochs, batch_size, lr, n_splits,
 
 
 def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
-              python=sys.executable):
+              python=sys.executable, out=None, resume=False):
     """checkpoints maps pipeline -> list of per-fold classifier checkpoints
     (the A/B harness aggregates mean/std over them; state_dicts carries the
     matching per-fold valid_indices files). With multiple datasets or
     augmentations in the grid the flat maps would collide on pipeline
     names, so they are nested under '<dataset>/<augmentation>' configs and
-    the flat view is only emitted for a single-config sweep."""
+    the flat view is only emitted for a single-config sweep.
+
+    With ``out`` the manifest is (re)written after EVERY job, and
+    ``resume=True`` skips jobs already recorded successfully in an
+    existing manifest at ``out`` — a budget-truncated sweep continues
+    where it stopped instead of retraining 60 folds."""
     manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {},
                 "configs": {}}
+    done = set()
+    if resume and out and os.path.exists(out):
+        try:
+            with open(out) as fh:
+                manifest = json.load(fh)
+            done = {j["run_name"] for j in manifest.get("jobs", [])
+                    if j.get("returncode") == 0}
+            manifest["jobs"] = [j for j in manifest.get("jobs", [])
+                                if j.get("returncode") == 0]
+            print(f"resuming: {len(done)} jobs already complete")
+        except ValueError:
+            manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {},
+                        "configs": {}}
+
+    def _flush():
+        if not out:
+            return
+        manifest.pop("checkpoints", None)
+        manifest.pop("state_dicts", None)
+        if len(manifest["configs"]) == 1:
+            only = next(iter(manifest["configs"].values()))
+            manifest["checkpoints"] = only["checkpoints"]
+            manifest["state_dicts"] = only["state_dicts"]
+        if os.path.dirname(out):
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, out)
+
     for i, job in enumerate(jobs):
         if i % n_shards != shard:
             continue
+        if job["run_name"] in done:
+            print(f"[{i + 1}/{len(jobs)}] skip (done): {job['run_name']}")
+            continue
         cmd = [python, "train.py", *job["argv"]]
-        print(f"[{i + 1}/{len(jobs)}] {' '.join(cmd)}")
+        print(f"[{i + 1}/{len(jobs)}] {' '.join(cmd)}", flush=True)
         if dry_run:
             continue
         rc = subprocess.run(cmd).returncode
@@ -72,6 +110,7 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
                 os.path.join(d, "checkpoints", "classifier") for d in folds]
             cfg["state_dicts"][job["pipeline"]] = [
                 os.path.join(d, "state_dict.json") for d in folds]
+        _flush()
     if len(manifest["configs"]) == 1:
         only = next(iter(manifest["configs"].values()))
         manifest["checkpoints"] = only["checkpoints"]
@@ -87,6 +126,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--precompute_static", action="store_true",
                    help="hoist the static ISP out of the per-step graph "
                         "(train.py --precompute_static)")
@@ -96,12 +137,17 @@ def main(argv=None):
                    help="this host's shard of the grid")
     p.add_argument("--n_shards", type=int, default=1)
     p.add_argument("--dry_run", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip jobs already recorded successfully in the "
+                        "manifest at --out")
     p.add_argument("--out", default="results/sweep_manifest.json")
     args = p.parse_args(argv)
 
     extra = []
     if args.weight_decay:
         extra += ["--weight_decay", str(args.weight_decay)]
+    if args.lr_schedule != "constant":
+        extra += ["--lr_schedule", args.lr_schedule]
     if args.precompute_static:
         extra += ["--precompute_static"]
     if args.check_val_every_n_epoch != 1:
@@ -111,12 +157,10 @@ def main(argv=None):
                       args.batch_size, args.lr, args.n_splits,
                       extra_flags=tuple(extra))
     manifest = run_sweep(jobs, shard=args.shard, n_shards=args.n_shards,
-                         dry_run=args.dry_run)
-    if os.path.dirname(args.out):  # bare filename -> cwd
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as fh:
-        json.dump(manifest, fh, indent=2)
-    print(f"manifest -> {args.out}")
+                         dry_run=args.dry_run, out=args.out,
+                         resume=args.resume)
+    if not args.dry_run:
+        print(f"manifest -> {args.out}")
 
 
 if __name__ == "__main__":

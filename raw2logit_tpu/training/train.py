@@ -146,6 +146,10 @@ def build_parser():
                    help="coupled L2 weight decay (torch.optim.Adam "
                         "semantics, reference model.py:144-146 hardcodes "
                         "0; exposed for sweep recipes)")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine decays to 0 over the fold's total steps "
+                        "so the checkpointed FINAL state is converged")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train steps "
                         "into the run dir")
@@ -296,9 +300,16 @@ def run_train(args):
     sample = dataset[0][0]
     image_size = sample.shape[0]
 
+    # cosine horizon: steps per fold (all folds share the split size; the
+    # train loader drops the ragged tail like the in-loop Loader does)
+    n_train = (args.batch_size if args.test_run
+               else int(len(dataset) * args.train_size))
+    steps_per_epoch = max(1, n_train // args.batch_size)
     cfg = TrainConfig(
         task=dataset.task,
         lr=args.lr,
+        lr_schedule=getattr(args, "lr_schedule", "constant"),
+        total_steps=steps_per_epoch * args.epochs,
         weight_decay=getattr(args, "weight_decay", 0.0),
         augmentation=args.augmentation,
         freeze_processor=(args.freeze_processor
