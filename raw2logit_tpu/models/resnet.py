@@ -102,6 +102,54 @@ RESNET_CONFIGS = {
 }
 
 
+class _StemConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree (params/<name>/kernel) for
+    the fused Pallas stem — same shape, init, and name as conv_init, so
+    checkpoints are interchangeable between stem implementations."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, self.features), jnp.float32)
+
+
+class _StemBNPool(nn.Module):
+    """BN params/batch-stats holder (tree-identical to nn.BatchNorm's
+    bn_init) that runs the fused Pallas stem (pallas/stem.py: conv + BN +
+    relu + 3x3/2 maxpool in two kernel passes) and applies the flax
+    running-stat update (momentum * ra + (1-momentum) * batch)."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kernel):
+        from raw2logit_tpu.pallas.stem import stem_eval, stem_train
+        features = kernel.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if self.use_running_average or self.is_initializing():
+            return stem_eval(x, kernel, scale, bias, ra_mean.value,
+                             ra_var.value, self.epsilon, self.dtype, None)
+        pooled, bm, bv = stem_train(x, kernel, scale, bias, self.epsilon,
+                                    self.dtype, None)
+        ra_mean.value = (self.momentum * ra_mean.value
+                         + (1 - self.momentum) * bm)
+        ra_var.value = (self.momentum * ra_var.value
+                        + (1 - self.momentum) * bv)
+        return pooled
+
+
 class ResNet(nn.Module):
     """ResNet backbone + linear head.
 
@@ -119,6 +167,11 @@ class ResNet(nn.Module):
     # exact 2-stage stem-pool decomposition (see stem_max_pool); parameter
     # trees are identical either way, so the flag is checkpoint-compatible
     pool_two_stage: bool = False
+    # fused Pallas stem (pallas/stem.py): conv_init + bn_init + relu +
+    # maxpool as two kernel passes; parameter/batch-stats trees are
+    # identical to the flax stem, so the flag is checkpoint-compatible.
+    # Classifier path only (the features path needs the pre-pool plane).
+    stem_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False,
@@ -129,13 +182,19 @@ class ResNet(nn.Module):
                        padding="SAME")
 
         feats = [x]
-        y = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv_init")(x)
-        y = norm(name="bn_init")(y)
-        y = nn.relu(y)
-        feats.append(y)  # 1/2
-
-        y = stem_max_pool(y, two_stage=self.pool_two_stage)
+        if self.stem_pallas and not return_features:
+            kernel = _StemConvParams(self.num_filters, name="conv_init")()
+            y = _StemBNPool(use_running_average=not train,
+                            dtype=self.dtype, name="bn_init")(
+                jnp.asarray(x, jnp.float32), kernel)
+        else:
+            y = nn.Conv(self.num_filters, (7, 7), (2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, name="conv_init")(x)
+            y = norm(name="bn_init")(y)
+            y = nn.relu(y)
+            feats.append(y)  # 1/2
+            y = stem_max_pool(y, two_stage=self.pool_two_stage)
         stage_sizes = (self.stage_sizes[: max(depth - 1, 0)]
                        if return_features else self.stage_sizes)
         for i, block_count in enumerate(stage_sizes):
@@ -156,7 +215,7 @@ class ResNet(nn.Module):
 
 def resnet_model(model="resnet18", pretrained=False, in_channels=3,
                  fc_out_features=2, dtype=jnp.float32,
-                 weights_dir="weights"):
+                 weights_dir="weights", stem_pallas=False):
     """Factory mirroring the reference resnet_model (model.py:15-23).
 
     ``pretrained`` requires converted torchvision weights at
@@ -170,7 +229,7 @@ def resnet_model(model="resnet18", pretrained=False, in_channels=3,
     block_cls, stage_sizes = RESNET_CONFIGS[model.lower()]
     net = ResNet(block_cls=block_cls, stage_sizes=stage_sizes,
                  num_classes=fc_out_features, in_channels=in_channels,
-                 dtype=dtype)
+                 dtype=dtype, stem_pallas=stem_pallas)
     if pretrained:
         path = os.path.join(weights_dir, f"{model.lower()}.npz")
         if not os.path.exists(path):
