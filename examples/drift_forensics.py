@@ -1,14 +1,28 @@
 #!/usr/bin/env python
-"""Drift forensics in miniature (offline, synthetic): adversarially optimize
-the ISP parameters against a frozen classifier, SSIM-regularized toward the
-default pipeline, and dump per-stage diffs.
+"""Drift forensics (offline, synthetic): adversarially optimize the ISP
+parameters against a frozen classifier, SSIM-regularized toward the
+default pipeline, and COMMIT the quantitative outcome.
 
 Reproduces the reference's failure-mode search (README.md:100-118,
-train.py:241-273). Run CPU-only:
+train.py:241-273) and writes results/forensics_<target>.json per
+adversarial-parameter target: baseline accuracy (the frozen classifier
+on the default ISP it was trained on), the per-epoch accuracy and
+aux-SSIM trajectory under attack, and the per-parameter drift of the
+adversarial ISP — the experiment's RESULT, not just its machinery
+(VERDICT r4 item 3). tests/test_examples.py pins the semantics: the
+attack must collapse accuracy while the SSIM regularizer keeps the
+images close to the default pipeline's.
+
+Run CPU-only:
   env -u PALLAS_AXON_POOL_IPS -u PYTHONPATH JAX_PLATFORMS=cpu \
-      python examples/drift_forensics.py
+      python examples/drift_forensics.py [--targets all gamma_correct]
+
+Extra train.py flags pass through, e.g. --use_pallas --staged_step
+drives the whole loop with the fused kernels on the real TPU.
 """
 
+import argparse
+import json
 import os
 import sys
 
@@ -18,53 +32,114 @@ from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def main():
+def _flat_params(tree, prefix=()):
+    import numpy as np
+    if hasattr(tree, "items"):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flat_params(v, prefix + (str(k),)))
+        return out
+    return {"/".join(prefix): np.asarray(tree, np.float32)}
+
+
+def run_forensics(targets=("all", "gamma_correct"), pre_epochs=10,
+                  adv_epochs=6, batch_size=8, aux_weight=0.3,
+                  out_dir="results", extra=(), track=True):
+    """Pretrain once (classifier on the FROZEN default ISP — so the
+    frozen-classifier baseline is exactly its own training pipeline),
+    then run one adversarial ISP search per target. Returns the list of
+    per-target report dicts (also written to out_dir)."""
+    import numpy as np
     from raw2logit_tpu.training.train import build_parser, run_train
+    extra = list(extra)
 
-    # extra CLI flags are forwarded to BOTH runs — e.g.
-    #   python examples/drift_forensics.py --use_pallas --staged_step
-    # drives the whole forensics loop with the fused kernels on real TPU
-    extra = sys.argv[1:]
-
-    # 1. pretrain a classifier on the default parametrized pipeline
     pre = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
-           "parametrized", "--epochs", "2", "--batch_size", "8",
-           "--n_splits", "1", "--lr", "1e-3",
+           "parametrized", "--freeze_processor",
+           "--epochs", str(pre_epochs), "--batch_size", str(batch_size),
+           "--n_splits", "1", "--lr", "1e-3", "--weight_decay", "1e-3",
+           "--lr_schedule", "cosine", "--augmentation", "weak",
            "--experiment_name", "forensics", "--run_name", "pretrain",
            *extra]
     results = run_train(build_parser().parse_args(pre))
-    clf_ckpt = os.path.join(results[0]["run"].dir, "checkpoints",
-                            "classifier")
+    pre_run = results[0]["run"]
+    clf_ckpt = os.path.join(pre_run.dir, "checkpoints", "classifier")
+    pre_metrics = pre_run.read_metrics()
+    baseline_acc = [m["val_accuracy"] for m in pre_metrics
+                    if "val_accuracy" in m][-1]
+    print(f"baseline (frozen classifier on default ISP): "
+          f"val_accuracy={baseline_acc:.3f}")
 
-    # 2. adversarial ISP search against the frozen classifier.
-    # Stage tracking forces the staged (non-fused) ISP with the
-    # reference's numerics-altering YUV round-trip — its autodiff
-    # backward is the one program this environment's remote compiler
-    # cannot build (ROUND2_NOTES §3), so when the fused kernels are
-    # requested the tracking flags are dropped (track on the CPU mesh).
-    tracking = [] if "--use_pallas" in extra else [
+    # per-stage diff/gradient artifacts need the staged (tracking) ISP,
+    # whose autodiff backward this environment's remote compiler cannot
+    # build — keep them for CPU runs only (ROUND2_NOTES §3)
+    tracking = [] if (not track or "--use_pallas" in extra) else [
         "--adv_track_differences", "--track_processing",
         "--track_processing_gradients"]
-    adv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
-           "parametrized", "--adv_training", "--freeze_classifier",
-           "--classifier_uri", clf_ckpt,
-           "--adv_aux_loss", "ssim", "--adv_aux_weight", "0.3",
-           "--adv_noise_layer", "--adv_parameters", "all",
-           *tracking,
-           "--epochs", "3", "--batch_size", "8", "--n_splits", "1",
-           "--lr", "1e-2", "--experiment_name", "forensics",
-           "--run_name", "adv", *extra]
-    results = run_train(build_parser().parse_args(adv))
-    run = results[0]["run"]
 
-    metrics = run.read_metrics()
-    accs = [m["val_accuracy"] for m in metrics if "val_accuracy" in m]
-    print(f"accuracy under adversarial ISP drift: {accs}")
-    if tracking:
-        print(f"stage diffs + gradients in {run.dir}/results/")
-    else:
-        print("(stage tracking skipped with --use_pallas; run on the "
-              "CPU mesh for per-stage diff/gradient artifacts)")
+    reports = []
+    for target in targets:
+        adv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+               "parametrized", "--adv_training", "--freeze_classifier",
+               "--classifier_uri", clf_ckpt,
+               "--adv_aux_loss", "ssim",
+               "--adv_aux_weight", str(aux_weight),
+               "--adv_noise_layer", "--adv_parameters", target,
+               *tracking,
+               "--epochs", str(adv_epochs),
+               "--batch_size", str(batch_size), "--n_splits", "1",
+               "--lr", "1e-2", "--experiment_name", "forensics",
+               "--run_name", f"adv_{target}", *extra]
+        results = run_train(build_parser().parse_args(adv))
+        run = results[0]["run"]
+        state = results[0]["state"]
+
+        metrics = run.read_metrics()
+        accs = [m["val_accuracy"] for m in metrics if "val_accuracy" in m]
+        # aux loss = weight * SSIM(default RGB, adversarial RGB)
+        ssims = [m["val_loss_aux"] / aux_weight for m in metrics
+                 if "val_loss_aux" in m]
+
+        adv_flat = _flat_params(state.proc_params)
+        ref_flat = _flat_params(state.ref_proc_params)
+        drift = {}
+        for name, a in adv_flat.items():
+            r = ref_flat[name]
+            denom = float(np.abs(r).max()) or 1.0
+            drift[name] = round(float(np.abs(a - r).max()) / denom, 5)
+
+        report = {
+            "target": target,
+            "aux_weight": aux_weight,
+            "baseline_val_accuracy": round(float(baseline_acc), 4),
+            "val_accuracy_per_epoch": [round(float(a), 4) for a in accs],
+            "final_val_accuracy": round(float(accs[-1]), 4),
+            "accuracy_drop": round(float(baseline_acc - accs[-1]), 4),
+            "aux_ssim_per_epoch": [round(float(s), 4) for s in ssims],
+            "final_aux_ssim": round(float(ssims[-1]), 4),
+            "param_drift_relmax": drift,
+            "stage_artifacts": (os.path.join(run.dir, "results")
+                                if tracking else None),
+        }
+        reports.append(report)
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"forensics_{target}.json")
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"[{target}] accuracy {baseline_acc:.3f} -> "
+              f"{accs[-1]:.3f} (drop {report['accuracy_drop']:.3f}), "
+              f"SSIM vs default pipeline {ssims[-1]:.3f} -> {out}")
+    return reports
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--targets", nargs="+",
+                   default=["all", "gamma_correct"])
+    p.add_argument("--pre_epochs", type=int, default=10)
+    p.add_argument("--adv_epochs", type=int, default=6)
+    args, extra = p.parse_known_args()
+    run_forensics(targets=args.targets, pre_epochs=args.pre_epochs,
+                  adv_epochs=args.adv_epochs, extra=extra)
 
 
 if __name__ == "__main__":

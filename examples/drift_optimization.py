@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Drift optimization in miniature (offline, synthetic): compare a frozen
-default ISP against a jointly-trained ISP + classifier — the reference's
-third experiment family (README.md:120-139: joint training makes data
-generation help the task model).
+"""Drift optimization (offline, synthetic): compare a frozen default ISP
+against a jointly-trained ISP + classifier and COMMIT the learning
+curves — the reference's third experiment family (README.md:120-139:
+joint training makes data generation help the task model).
+
+Writes results/drift_optimization.json with both per-epoch val-loss /
+val-accuracy curves and the final comparison (VERDICT r4 item 3);
+tests/test_examples.py pins that joint training matches or beats the
+frozen ISP.
 
 Run CPU-only:
   env -u PALLAS_AXON_POOL_IPS -u PYTHONPATH JAX_PLATFORMS=cpu \
       python examples/drift_optimization.py
 """
 
+import argparse
+import json
 import os
 import sys
 
@@ -18,30 +25,55 @@ from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def _final_val_loss(results):
+def _curves(results):
     metrics = results[0]["run"].read_metrics()
-    return [m["val_loss"] for m in metrics if "val_loss" in m]
+    return ([m["val_loss"] for m in metrics if "val_loss" in m],
+            [m["val_accuracy"] for m in metrics if "val_accuracy" in m])
 
 
-def main():
+def run_optimization(epochs=8, batch_size=8, out_dir="results", extra=()):
     from raw2logit_tpu.training.train import build_parser, run_train
 
     common = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
-              "parametrized", "--epochs", "4", "--batch_size", "8",
-              "--n_splits", "1", "--lr", "1e-3",
-              "--experiment_name", "drift_opt"]
+              "parametrized", "--epochs", str(epochs),
+              "--batch_size", str(batch_size), "--n_splits", "1",
+              "--lr", "1e-3", "--experiment_name", "drift_opt",
+              *list(extra)]
 
     frozen = run_train(build_parser().parse_args(
         common + ["--freeze_processor", "--run_name", "frozen_isp"]))
     joint = run_train(build_parser().parse_args(
         common + ["--run_name", "joint_isp"]))
 
-    lf = _final_val_loss(frozen)
-    lj = _final_val_loss(joint)
-    print(f"frozen-ISP val loss per epoch:  {[round(v, 4) for v in lf]}")
-    print(f"joint-ISP  val loss per epoch:  {[round(v, 4) for v in lj]}")
+    lf, af = _curves(frozen)
+    lj, aj = _curves(joint)
+    report = {
+        "epochs": epochs,
+        "frozen_val_loss": [round(float(v), 4) for v in lf],
+        "joint_val_loss": [round(float(v), 4) for v in lj],
+        "frozen_val_accuracy": [round(float(v), 4) for v in af],
+        "joint_val_accuracy": [round(float(v), 4) for v in aj],
+        "final_frozen_val_loss": round(float(lf[-1]), 4),
+        "final_joint_val_loss": round(float(lj[-1]), 4),
+        "joint_better": bool(lj[-1] < lf[-1]),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "drift_optimization.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"frozen-ISP val loss per epoch:  {report['frozen_val_loss']}")
+    print(f"joint-ISP  val loss per epoch:  {report['joint_val_loss']}")
     print(f"final: frozen {lf[-1]:.4f} vs joint {lj[-1]:.4f} "
-          f"({'joint better' if lj[-1] < lf[-1] else 'frozen better'})")
+          f"({'joint better' if report['joint_better'] else 'frozen better'})"
+          f" -> {out}")
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=8)
+    args, extra = p.parse_known_args()
+    run_optimization(epochs=args.epochs, extra=extra)
 
 
 if __name__ == "__main__":

@@ -169,8 +169,11 @@ def _conv_kernel(xp_ref, w4_ref, act_ref, stats_ref, s_scratch):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (64, RB, Wp)
         act_ref[0, :, r0:r0 + RB, :] = out.astype(act_ref.dtype)
-        s1 = s1 + jnp.sum(out, axis=(1, 2))[:, None]
-        s2 = s2 + jnp.sum(out * out, axis=(1, 2))[:, None]
+        # reduce in two 2D steps: a rank-1 (64,) intermediate crashes the
+        # Mosaic layout pass (layout.h implicit-dim check)
+        s1 = s1 + jnp.sum(jnp.sum(out, axis=2), axis=1, keepdims=True)
+        sq = out * out
+        s2 = s2 + jnp.sum(jnp.sum(sq, axis=2), axis=1, keepdims=True)
     stats_ref[:, 0:1] += s1
     stats_ref[:, 1:2] += s2
 
@@ -274,8 +277,13 @@ def _pool_bn_bwd_kernel(act_ref, dp_ref, coef_ref, spreadr_ref,
     d_n = jnp.where(n > 0.0, d_r, 0.0)
     dn_ref[0] = d_n.astype(dn_ref.dtype)
     xhat = (a - mu[:, :, None]) * inv[:, :, None]
-    sums_ref[:, 0:1] += jnp.sum(d_n, axis=(1, 2))[:, None]
-    sums_ref[:, 1:2] += jnp.sum(d_n * xhat, axis=(1, 2))[:, None]
+    # 2D-stepped reductions: rank-1 intermediates crash the Mosaic
+    # layout pass
+    sums_ref[:, 0:1] += jnp.sum(jnp.sum(d_n, axis=2), axis=1,
+                                keepdims=True)
+    dx_prod = d_n * xhat
+    sums_ref[:, 1:2] += jnp.sum(jnp.sum(dx_prod, axis=2), axis=1,
+                                keepdims=True)
 
 
 def _conv_bwd_kernel(xp_ref, act_ref, dn_ref, coef_ref, w4t_ref,
@@ -315,10 +323,14 @@ def _conv_bwd_kernel(xp_ref, act_ref, dn_ref, coef_ref, w4t_ref,
         for t, (sy, sx) in enumerate(TAPS4):
             s_scratch[t * 12:(t + 1) * 12, :, :] = \
                 xp_ref[0, :, r0 + sy:r0 + sy + RB, sx:sx + Wp]
-        dw = dw + jax.lax.dot_general(             # (64, 192)
-            d_a, s_scratch[:],
-            dimension_numbers=(((1, 2), (1, 2)), ((), ())),
-            preferred_element_type=jnp.float32)
+        s = s_scratch[:]
+        # Mosaic tpu.matmul wants exactly ONE contracting dim per side:
+        # contract the (RB, Wp) positions row by row
+        for r in range(RB):
+            dw = dw + jax.lax.dot_general(         # (64, 192)
+                d_a[:, r, :], s[:, r, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         for t, (sy, sx) in enumerate(TAPS4):
             mt = jax.lax.dot_general(              # (12, RB, Wp)
                 w4t[t * 12:(t + 1) * 12, :], d_a,

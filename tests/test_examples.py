@@ -1,0 +1,98 @@
+"""The three experiment families' example drivers run headless in CI
+(VERDICT r4 item 6), and the committed forensics/optimization artifacts
+carry regression pins (item 3): the adversarial ISP search must collapse
+accuracy while the SSIM regularizer holds, and joint ISP training must
+match or beat the frozen default."""
+
+import importlib.util
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _load_example(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "examples", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tiny_dataset(monkeypatch):
+    import raw2logit_tpu.training.train as T
+    from raw2logit_tpu.data import SyntheticRawClassification
+    monkeypatch.setattr(
+        T, "get_dataset",
+        lambda name, **kw: SyntheticRawClassification(n=8, h=64, w=64,
+                                                      seed=5))
+
+
+def test_drift_forensics_smoke(tmp_path, monkeypatch):
+    """The forensics loop (pretrain frozen-ISP classifier -> adversarial
+    ISP search -> JSON report with accuracy/SSIM trajectories and
+    per-parameter drift) runs end-to-end on tiny synthetic shapes."""
+    monkeypatch.chdir(tmp_path)
+    _tiny_dataset(monkeypatch)
+    mod = _load_example("drift_forensics")
+    reports = mod.run_forensics(targets=("gamma_correct",), pre_epochs=1,
+                                adv_epochs=1, batch_size=4,
+                                out_dir=str(tmp_path / "out"), track=False)
+    (report,) = reports
+    assert report["target"] == "gamma_correct"
+    assert 0.0 <= report["final_val_accuracy"] <= 1.0
+    assert len(report["aux_ssim_per_epoch"]) == 1
+    # targeted attack: only gamma (and the injected additive/noise
+    # layer) may drift; every other ISP parameter is frozen
+    drift = report["param_drift_relmax"]
+    assert any("gamma" in k for k in drift)
+    for name, rel in drift.items():
+        if "gamma" not in name and "additive" not in name:
+            assert rel == 0.0, (name, rel)
+    with open(tmp_path / "out" / "forensics_gamma_correct.json") as fh:
+        assert json.load(fh) == report
+
+
+def test_drift_optimization_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _tiny_dataset(monkeypatch)
+    mod = _load_example("drift_optimization")
+    report = mod.run_optimization(epochs=1, batch_size=4,
+                                  out_dir=str(tmp_path / "out"))
+    assert len(report["frozen_val_loss"]) == 1
+    assert len(report["joint_val_loss"]) == 1
+    assert os.path.exists(tmp_path / "out" / "drift_optimization.json")
+
+
+def _artifact(name):
+    path = os.path.join(REPO, "results", name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet (examples/ writes it)")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("target", ["all", "gamma_correct"])
+def test_forensics_artifact_pins(target):
+    """Committed forensics outcome: the adversarial ISP drops the frozen
+    classifier's accuracy by a clear margin while the SSIM regularizer
+    keeps the images close to the default pipeline's (reference
+    README.md:100-118's failure-mode search, quantified)."""
+    rep = _artifact(f"forensics_{target}.json")
+    assert rep["baseline_val_accuracy"] >= 0.85, \
+        "baseline classifier did not converge"
+    assert rep["accuracy_drop"] >= 0.25, rep
+    assert rep["final_aux_ssim"] >= 0.2, rep
+    assert max(rep["param_drift_relmax"].values()) > 0.0
+
+
+def test_optimization_artifact_pins():
+    """Committed drift-optimization outcome: joint ISP+classifier
+    training matches or beats the frozen default ISP (reference
+    README.md:120-139)."""
+    rep = _artifact("drift_optimization.json")
+    assert rep["final_joint_val_loss"] <= rep["final_frozen_val_loss"], rep

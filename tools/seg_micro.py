@@ -42,8 +42,16 @@ def main():
     # decoder (256,128,64,32,16), 1 class) + Dice (train.py:218-237)
     # SEG_REMAT=1: rematerialize the decoder grid nodes (exact; trades
     # recompute at the step's 11% MFU for saved-activation HBM traffic)
+    # SEG_LANE_PAD=1: lane-dense decoder variant (VERDICT r4 item 5) —
+    # the HLO tally (results/seg_hlo_tally.json) attributes the 11% MFU
+    # to C_out=16/32 lane under-occupancy + layout bytes; widening the
+    # narrow rows to the bf16 lane width (256,128,128,64,64) measures
+    # whether occupancy, not bytes, is the binding constraint. A
+    # DIFFERENT model (more params), so results are reported separately.
+    lane_pad = os.environ.get("SEG_LANE_PAD", "0") == "1"
+    dec = (256, 128, 128, 64, 64) if lane_pad else (256, 128, 64, 32, 16)
     classifier = UNetPlusPlus(encoder_name="resnet34", encoder_depth=5,
-                              decoder_channels=(256, 128, 64, 32, 16),
+                              decoder_channels=dec,
                               in_channels=3, classes=1, dtype=jnp.bfloat16,
                               remat=os.environ.get("SEG_REMAT", "0") == "1")
     cfg = TrainConfig(task="segmentation", lr=1e-5)
@@ -91,7 +99,7 @@ def main():
     infer_dt = (time.perf_counter() - t0) / steps
 
     result = {"mode": "seg_train_staged", "batch": batch,
-              "fuse_opt": fuse_opt,
+              "fuse_opt": fuse_opt, "decoder_channels": list(dec),
               "train_step_ms": round(train_dt * 1e3, 3),
               "train_imgs_per_sec": round(batch / train_dt, 2),
               "infer_step_ms": round(infer_dt * 1e3, 3),
@@ -110,7 +118,8 @@ def main():
                 result[f"{key}_imgs_per_sec"] / base_v, 2)
     print(json.dumps(result))
     os.makedirs("results", exist_ok=True)
-    path = ("results/seg_step_tpu_fuse_opt.json" if fuse_opt
+    path = ("results/seg_step_tpu_lanepad.json" if lane_pad
+            else "results/seg_step_tpu_fuse_opt.json" if fuse_opt
             else "results/seg_step_tpu.json")
     with open(path, "w") as fh:
         json.dump(result, fh, indent=2)
