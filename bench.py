@@ -54,6 +54,10 @@ def _build_family(family, image_size, n_classes, dtype):
 
     cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     use_pallas = os.environ.get("BENCH_ISP", "pallas") == "pallas"
+    # BENCH_STEM=pallas: fused stem kernels (pallas/stem.py) — the
+    # classifier's conv1+BN+relu+maxpool as two hand-written passes
+    # instead of XLA's lowering (VERDICT r4 item 4)
+    stem_pallas = os.environ.get("BENCH_STEM", "xla") == "pallas"
 
     if family == "segmentation":
         # reference drone setup: smp.UnetPlusPlus(resnet34, depth 5,
@@ -98,7 +102,7 @@ def _build_family(family, image_size, n_classes, dtype):
             camera_parameters=MICROSCOPY_CAMERA_PARAMS,
             image_size=image_size, use_pallas=use_pallas)
         classifier = resnet_model("resnet18", fc_out_features=n_classes,
-                                  dtype=cdtype)
+                                  dtype=cdtype, stem_pallas=stem_pallas)
         cfg = TrainConfig(task="classification", lr=1e-5)
 
     def make_labels(rng, batch):

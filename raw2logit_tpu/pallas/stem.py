@@ -286,58 +286,78 @@ def _pool_bn_bwd_kernel(act_ref, dp_ref, coef_ref, spreadr_ref,
                                 keepdims=True)
 
 
-def _conv_bwd_kernel(xp_ref, act_ref, dn_ref, coef_ref, w4t_ref,
-                     dxs_ref, dw_ref, s_scratch, dxs_scratch):
-    """B2: BN input-cotangent (closed form) -> dW (im2col contraction)
-    and d_xs (transposed conv into a padded VMEM accumulator).
+RB_BWD = 8  # backward row block: the 16-row variant + double-buffered
+#             (act, dn, xp) blocks exceeded the 16M scoped-VMEM stack
+
+
+def _bn_input_cotangent_block(act_ref, dn_ref, coef, r0, rb):
+    """d_a for one row block: closed-form train-BN input cotangent."""
+    g1, c1, c2, mu, inv = coef
+    a = act_ref[0, :, r0:r0 + rb, :].astype(jnp.float32)
+    d_n = dn_ref[0, :, r0:r0 + rb, :].astype(jnp.float32)
+    xhat = (a - mu[:, :, None]) * inv[:, :, None]
+    return (g1[:, :, None]
+            * (d_n - c1[:, :, None] - xhat * c2[:, :, None]))
+
+
+def _unpack_coef(coef_ref):
+    return (coef_ref[:, 0:1], coef_ref[:, 1:2], coef_ref[:, 2:3],
+            coef_ref[:, 3:4], coef_ref[:, 4:5])
+
+
+def _conv_dw_kernel(xp_ref, act_ref, dn_ref, coef_ref, dw_ref, s_scratch):
+    """B2a: dW by im2col contraction (one row at a time — Mosaic
+    tpu.matmul wants exactly ONE contracting dim per side).
 
     xp_ref: (1, 12, Hp+3, Wp+3); act_ref/dn_ref: (1, 64, Hp, Wp)
     coef_ref: (64, 128) [g1, c1, c2, mean, inv_sigma]
-    w4t_ref: (192, 64); dxs_ref: (1, 12, Hp, Wp) f32
-    dw_ref: (64, 192) f32 grid-accumulated
-    s_scratch: (192, RB, Wp); dxs_scratch: (12, Hp+3, Wp+3) f32
+    dw_ref: (64, 192) f32 grid-accumulated; s_scratch: (192, RB_BWD, Wp)
     """
     Hp, Wp = act_ref.shape[2], act_ref.shape[3]
-    g1 = coef_ref[:, 0:1]
-    c1 = coef_ref[:, 1:2]
-    c2 = coef_ref[:, 2:3]
-    mu = coef_ref[:, 3:4]
-    inv = coef_ref[:, 4:5]
-    w4t = w4t_ref[:]
+    coef = _unpack_coef(coef_ref)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    dxs_scratch[:] = jnp.zeros_like(dxs_scratch)
     dw = jnp.zeros((64, 192), jnp.float32)
-    mmdtype = xp_ref.dtype
-    for blk in range(Hp // RB):
-        r0 = blk * RB
-        a = act_ref[0, :, r0:r0 + RB, :].astype(jnp.float32)
-        d_n = dn_ref[0, :, r0:r0 + RB, :].astype(jnp.float32)
-        xhat = (a - mu[:, :, None]) * inv[:, :, None]
-        d_a = (g1[:, :, None]
-               * (d_n - c1[:, :, None] - xhat * c2[:, :, None]))
-        d_a = d_a.astype(mmdtype)                  # (64, RB, Wp)
+    for blk in range(Hp // RB_BWD):
+        r0 = blk * RB_BWD
+        d_a = _bn_input_cotangent_block(act_ref, dn_ref, coef, r0,
+                                        RB_BWD).astype(xp_ref.dtype)
         for t, (sy, sx) in enumerate(TAPS4):
             s_scratch[t * 12:(t + 1) * 12, :, :] = \
-                xp_ref[0, :, r0 + sy:r0 + sy + RB, sx:sx + Wp]
+                xp_ref[0, :, r0 + sy:r0 + sy + RB_BWD, sx:sx + Wp]
         s = s_scratch[:]
-        # Mosaic tpu.matmul wants exactly ONE contracting dim per side:
-        # contract the (RB, Wp) positions row by row
-        for r in range(RB):
+        for r in range(RB_BWD):
             dw = dw + jax.lax.dot_general(         # (64, 192)
                 d_a[:, r, :], s[:, r, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+    dw_ref[:] += dw
+
+
+def _conv_dxs_kernel(act_ref, dn_ref, coef_ref, w4t_ref, dxs_ref,
+                     dxs_scratch):
+    """B2b: d_xs by transposed conv into a padded VMEM accumulator.
+
+    act_ref/dn_ref: (1, 64, Hp, Wp); w4t_ref: (192, 64)
+    dxs_ref: (1, 12, Hp, Wp) f32; dxs_scratch: (12, Hp+3, Wp+3) f32
+    """
+    Hp, Wp = act_ref.shape[2], act_ref.shape[3]
+    coef = _unpack_coef(coef_ref)
+    w4t = w4t_ref[:]
+    dxs_scratch[:] = jnp.zeros_like(dxs_scratch)
+    for blk in range(Hp // RB_BWD):
+        r0 = blk * RB_BWD
+        d_a = _bn_input_cotangent_block(act_ref, dn_ref, coef, r0,
+                                        RB_BWD).astype(w4t.dtype)
         for t, (sy, sx) in enumerate(TAPS4):
-            mt = jax.lax.dot_general(              # (12, RB, Wp)
+            mt = jax.lax.dot_general(              # (12, RB_BWD, Wp)
                 w4t[t * 12:(t + 1) * 12, :], d_a,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dxs_scratch[:, r0 + sy:r0 + sy + RB, sx:sx + Wp] += mt
-    dw_ref[:] += dw
+            dxs_scratch[:, r0 + sy:r0 + sy + RB_BWD, sx:sx + Wp] += mt
     dxs_ref[0] = dxs_scratch[:, 2:2 + Hp, 2:2 + Wp]
 
 
@@ -403,7 +423,10 @@ def _bnpool_fwd(act, alpha, beta, sel_r, sel_c, dtype, interpret, cb=16):
 
 
 def _pool_bn_bwd(act, d_pool, alpha, beta, mu, inv, sel_r, sel_c,
-                 dtype, interpret, cb=16):
+                 dtype, interpret, cb=8):
+    # cb=8: at cb=16 the kernel's live f32 planes (n, r, m, idx, u, d_r,
+    # roll temps) hit 18.6M scoped VMEM vs the 16M stack limit (measured
+    # server-side OOM); halving the channel chunk halves every plane
     B, C, Hp, Wp = act.shape
     coef = jnp.stack([alpha, beta, mu, inv], axis=1)
     coef = jnp.pad(coef, ((0, 0), (0, 124))).astype(jnp.float32)
@@ -442,34 +465,42 @@ def _conv_bwd(xp, act, d_n, g1, c1, c2, mu, inv, w4t, interpret):
     Hp, Wp = Hp3 - 3, Wp3 - 3
     coef = jnp.stack([g1, c1, c2, mu, inv], axis=1)
     coef = jnp.pad(coef, ((0, 0), (0, 123))).astype(jnp.float32)
-    d_xs, dw = pl.pallas_call(
-        _conv_bwd_kernel,
+    dw = pl.pallas_call(
+        _conv_dw_kernel,
         grid=(B,),
         in_specs=[
             _vmem((1, 12, Hp3, Wp3), lambda b: (b, 0, 0, 0)),
             _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
             _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
             _vmem((64, 128), lambda b: (0, 0)),
-            _vmem((192, 64), lambda b: (0, 0)),
         ],
-        out_specs=(
-            _vmem((1, 12, Hp, Wp), lambda b: (b, 0, 0, 0)),
-            _vmem((64, 192), lambda b: (0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 12, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((64, 192), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((192, RB, Wp), xp.dtype),
-            pltpu.VMEM((12, Hp3, Wp3), jnp.float32),
-        ],
+        out_specs=_vmem((64, 192), lambda b: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((64, 192), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((192, RB_BWD, Wp), xp.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * 64 * 192 * Hp * Wp,
-            bytes_accessed=B * (12 * Hp3 * Wp3 + 3 * 64 * Hp * Wp) * 2,
+            flops=2 * B * 64 * 192 * Hp * Wp,
+            bytes_accessed=B * (12 * Hp3 * Wp3 + 2 * 64 * Hp * Wp) * 2,
             transcendentals=0),
-    )(xp, act, d_n, coef, w4t)
+    )(xp, act, d_n, coef)
+    d_xs = pl.pallas_call(
+        _conv_dxs_kernel,
+        grid=(B,),
+        in_specs=[
+            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
+            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
+            _vmem((64, 128), lambda b: (0, 0)),
+            _vmem((192, 64), lambda b: (0, 0)),
+        ],
+        out_specs=_vmem((1, 12, Hp, Wp), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 12, Hp, Wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((12, Hp3, Wp3), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * 64 * 192 * Hp * Wp,
+            bytes_accessed=B * (12 * Hp * Wp * 4 + 2 * 64 * Hp * Wp) * 2,
+            transcendentals=0),
+    )(act, d_n, coef, w4t)
     return d_xs, dw
 
 
