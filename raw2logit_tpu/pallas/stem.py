@@ -305,13 +305,21 @@ def _unpack_coef(coef_ref):
             coef_ref[:, 3:4], coef_ref[:, 4:5])
 
 
+CBW = 16  # backward channel chunk: the full-64-channel variants exceed
+#           the 16M scoped-VMEM stack once grid blocks double-buffer
+#           (20.8M measured at batch 256); both conv-backward kernels
+#           chunk the 64 output channels and grid-accumulate
+
+
 def _conv_dw_kernel(xp_ref, act_ref, dn_ref, coef_ref, dw_ref, s_scratch):
     """B2a: dW by im2col contraction (one row at a time — Mosaic
-    tpu.matmul wants exactly ONE contracting dim per side).
+    tpu.matmul wants exactly ONE contracting dim per side). Grid
+    (B, 64/CBW): each cell contracts one channel chunk.
 
-    xp_ref: (1, 12, Hp+3, Wp+3); act_ref/dn_ref: (1, 64, Hp, Wp)
-    coef_ref: (64, 128) [g1, c1, c2, mean, inv_sigma]
-    dw_ref: (64, 192) f32 grid-accumulated; s_scratch: (192, RB_BWD, Wp)
+    xp_ref: (1, 12, Hp+3, Wp+3); act_ref/dn_ref: (1, CBW, Hp, Wp)
+    coef_ref: (CBW, 128) [g1, c1, c2, mean, inv_sigma]
+    dw_ref: (CBW, 192) f32 grid-accumulated over b
+    s_scratch: (192, RB_BWD, Wp)
     """
     Hp, Wp = act_ref.shape[2], act_ref.shape[3]
     coef = _unpack_coef(coef_ref)
@@ -320,7 +328,7 @@ def _conv_dw_kernel(xp_ref, act_ref, dn_ref, coef_ref, dw_ref, s_scratch):
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    dw = jnp.zeros((64, 192), jnp.float32)
+    dw = jnp.zeros((CBW, 192), jnp.float32)
     for blk in range(Hp // RB_BWD):
         r0 = blk * RB_BWD
         d_a = _bn_input_cotangent_block(act_ref, dn_ref, coef, r0,
@@ -330,7 +338,7 @@ def _conv_dw_kernel(xp_ref, act_ref, dn_ref, coef_ref, dw_ref, s_scratch):
                 xp_ref[0, :, r0 + sy:r0 + sy + RB_BWD, sx:sx + Wp]
         s = s_scratch[:]
         for r in range(RB_BWD):
-            dw = dw + jax.lax.dot_general(         # (64, 192)
+            dw = dw + jax.lax.dot_general(         # (CBW, 192)
                 d_a[:, r, :], s[:, r, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -340,14 +348,22 @@ def _conv_dw_kernel(xp_ref, act_ref, dn_ref, coef_ref, dw_ref, s_scratch):
 def _conv_dxs_kernel(act_ref, dn_ref, coef_ref, w4t_ref, dxs_ref,
                      dxs_scratch):
     """B2b: d_xs by transposed conv into a padded VMEM accumulator.
+    Grid (B, 64/CBW), channel chunk minor: the scratch accumulates the
+    chunks' contributions across the sequential c-steps (TPU scratch
+    persists across grid iterations) and the output block — revisited
+    by every c — flushes once per item.
 
-    act_ref/dn_ref: (1, 64, Hp, Wp); w4t_ref: (192, 64)
+    act_ref/dn_ref: (1, CBW, Hp, Wp); w4t_ref: (192, CBW)
     dxs_ref: (1, 12, Hp, Wp) f32; dxs_scratch: (12, Hp+3, Wp+3) f32
     """
     Hp, Wp = act_ref.shape[2], act_ref.shape[3]
     coef = _unpack_coef(coef_ref)
     w4t = w4t_ref[:]
-    dxs_scratch[:] = jnp.zeros_like(dxs_scratch)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dxs_scratch[:] = jnp.zeros_like(dxs_scratch)
+
     for blk in range(Hp // RB_BWD):
         r0 = blk * RB_BWD
         d_a = _bn_input_cotangent_block(act_ref, dn_ref, coef, r0,
@@ -467,14 +483,14 @@ def _conv_bwd(xp, act, d_n, g1, c1, c2, mu, inv, w4t, interpret):
     coef = jnp.pad(coef, ((0, 0), (0, 123))).astype(jnp.float32)
     dw = pl.pallas_call(
         _conv_dw_kernel,
-        grid=(B,),
+        grid=(B, 64 // CBW),
         in_specs=[
-            _vmem((1, 12, Hp3, Wp3), lambda b: (b, 0, 0, 0)),
-            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
-            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
-            _vmem((64, 128), lambda b: (0, 0)),
+            _vmem((1, 12, Hp3, Wp3), lambda b, c: (b, 0, 0, 0)),
+            _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
+            _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
+            _vmem((CBW, 128), lambda b, c: (c, 0)),
         ],
-        out_specs=_vmem((64, 192), lambda b: (0, 0)),
+        out_specs=_vmem((CBW, 192), lambda b, c: (c, 0)),
         out_shape=jax.ShapeDtypeStruct((64, 192), jnp.float32),
         scratch_shapes=[pltpu.VMEM((192, RB_BWD, Wp), xp.dtype)],
         interpret=interpret,
@@ -485,14 +501,14 @@ def _conv_bwd(xp, act, d_n, g1, c1, c2, mu, inv, w4t, interpret):
     )(xp, act, d_n, coef)
     d_xs = pl.pallas_call(
         _conv_dxs_kernel,
-        grid=(B,),
+        grid=(B, 64 // CBW),
         in_specs=[
-            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
-            _vmem((1, 64, Hp, Wp), lambda b: (b, 0, 0, 0)),
-            _vmem((64, 128), lambda b: (0, 0)),
-            _vmem((192, 64), lambda b: (0, 0)),
+            _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
+            _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
+            _vmem((CBW, 128), lambda b, c: (c, 0)),
+            _vmem((192, CBW), lambda b, c: (0, c)),
         ],
-        out_specs=_vmem((1, 12, Hp, Wp), lambda b: (b, 0, 0, 0)),
+        out_specs=_vmem((1, 12, Hp, Wp), lambda b, c: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 12, Hp, Wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((12, Hp3, Wp3), jnp.float32)],
         interpret=interpret,
