@@ -353,12 +353,14 @@ def _conv_dxs_kernel(act_ref, dn_ref, coef_ref, w4t_ref, dxs_ref,
     persists across grid iterations) and the output block — revisited
     by every c — flushes once per item.
 
-    act_ref/dn_ref: (1, CBW, Hp, Wp); w4t_ref: (192, CBW)
+    act_ref/dn_ref: (1, CBW, Hp, Wp); w4_ref: (CBW, 192) — the chunk's
+    rows of w4 (a (192, CBW) chunk of w4T would violate the 128-lane
+    block rule; (CBW, 192) has lanes == the full dim)
     dxs_ref: (1, 12, Hp, Wp) f32; dxs_scratch: (12, Hp+3, Wp+3) f32
     """
     Hp, Wp = act_ref.shape[2], act_ref.shape[3]
     coef = _unpack_coef(coef_ref)
-    w4t = w4t_ref[:]
+    w4c = w4t_ref[:]                               # (CBW, 192)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -367,11 +369,11 @@ def _conv_dxs_kernel(act_ref, dn_ref, coef_ref, w4t_ref, dxs_ref,
     for blk in range(Hp // RB_BWD):
         r0 = blk * RB_BWD
         d_a = _bn_input_cotangent_block(act_ref, dn_ref, coef, r0,
-                                        RB_BWD).astype(w4t.dtype)
+                                        RB_BWD).astype(w4c.dtype)
         for t, (sy, sx) in enumerate(TAPS4):
             mt = jax.lax.dot_general(              # (12, RB_BWD, Wp)
-                w4t[t * 12:(t + 1) * 12, :], d_a,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                w4c[:, t * 12:(t + 1) * 12], d_a,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dxs_scratch[:, r0 + sy:r0 + sy + RB_BWD, sx:sx + Wp] += mt
     dxs_ref[0] = dxs_scratch[:, 2:2 + Hp, 2:2 + Wp]
@@ -506,7 +508,7 @@ def _conv_bwd(xp, act, d_n, g1, c1, c2, mu, inv, w4t, interpret):
             _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
             _vmem((1, CBW, Hp, Wp), lambda b, c: (b, c, 0, 0)),
             _vmem((CBW, 128), lambda b, c: (c, 0)),
-            _vmem((192, CBW), lambda b, c: (0, c)),
+            _vmem((CBW, 192), lambda b, c: (c, 0)),
         ],
         out_specs=_vmem((1, 12, Hp, Wp), lambda b, c: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 12, Hp, Wp), jnp.float32),
@@ -516,7 +518,7 @@ def _conv_bwd(xp, act, d_n, g1, c1, c2, mu, inv, w4t, interpret):
             flops=2 * B * 64 * 192 * Hp * Wp,
             bytes_accessed=B * (12 * Hp * Wp * 4 + 2 * 64 * Hp * Wp) * 2,
             transcendentals=0),
-    )(act, d_n, coef, w4t)
+    )(act, d_n, coef, w4t.T)
     return d_xs, dw
 
 
