@@ -5,8 +5,11 @@ The reference logs everything to a remote MLflow server
 package, so runs are tracked locally under ``results/runs/<experiment>/
 <run_name>/`` with the same artifact structure the figures/AB tooling
 expects: params.json, metrics.jsonl, state_dict.json, checkpoints/,
-results/ (stage artifacts). If mlflow is importable and MLFLOW_TRACKING_URI
-is set, metrics are mirrored there too.
+results/ (stage artifacts). If MLFLOW_TRACKING_URI is set, runs are
+mirrored to the tracking server too — through the mlflow package when
+importable, else by speaking the server's REST API 2.0 directly
+(tracking/mlflow_rest.py, stdlib-only; exercised against an in-process
+protocol server in tests/test_tracking_mlflow.py).
 """
 
 import json
@@ -58,8 +61,24 @@ class Run:
                     run_name=run_name, nested=parent is not None)
                 self._mlflow = mlflow
             except ImportError:
-                print("mlflow not installed — tracking locally only "
-                      f"(requested URI {uri})")
+                # package absent: speak the tracking server's REST API
+                # directly (tracking/mlflow_rest.py) for http(s) URIs
+                if uri.startswith(("http://", "https://")):
+                    try:
+                        from .mlflow_rest import RestMirror
+                        parent_mirror = (parent._mlflow
+                                         if parent is not None else None)
+                        self._mlflow = RestMirror.start(
+                            uri, experiment_name, run_name,
+                            parent_run_id=getattr(parent_mirror, "run_id",
+                                                  None))
+                        self._mlflow_run = self._mlflow
+                    except Exception as e:  # noqa: BLE001
+                        print(f"mlflow REST mirror unavailable ({e}); "
+                              "tracking locally")
+                else:
+                    print("mlflow not installed — tracking locally only "
+                          f"(requested URI {uri})")
             except Exception as e:  # noqa: BLE001 — never block training
                 print(f"mlflow mirror unavailable ({e}); tracking locally")
 
