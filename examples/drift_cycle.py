@@ -22,15 +22,19 @@ from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def main():
+DEFAULT_PIPELINES = [
+    ("bilinear", "sharpening_filter", "gaussian_denoising"),
+    ("malvar2004", "unsharp_masking", "median_denoising"),
+]
+
+
+def run_cycle(train_pipelines=None, epochs=2, batch_size=8,
+              table_path="results/ABtesting/tables/ABtable_drift_cycle.json"):
     from raw2logit_tpu.evaluation.abtesting import (ABTesting, ab_show_table,
                                                     pipeline_name)
     from raw2logit_tpu.training.train import build_parser, run_train
 
-    train_pipelines = [
-        ("bilinear", "sharpening_filter", "gaussian_denoising"),
-        ("malvar2004", "unsharp_masking", "median_denoising"),
-    ]
+    train_pipelines = train_pipelines or DEFAULT_PIPELINES
 
     checkpoints = {}
     valid_indices = None
@@ -40,8 +44,8 @@ def main():
                 "--processing_mode", "static",
                 "--sp_debayer", db, "--sp_sharpening", sh,
                 "--sp_denoising", dn,
-                "--epochs", "2", "--batch_size", "8", "--n_splits", "1",
-                "--lr", "1e-3",
+                "--epochs", str(epochs), "--batch_size", str(batch_size),
+                "--n_splits", "1", "--lr", "1e-3",
                 "--experiment_name", "drift_cycle",
                 "--run_name", name]
         results = run_train(build_parser().parse_args(argv))
@@ -50,8 +54,7 @@ def main():
                                          "classifier")
         valid_indices = results[0]["valid_indices"]
 
-    ab = ABTesting("SyntheticMicroscopy", batch_size=8)
-    table_path = "results/ABtesting/tables/ABtable_drift_cycle.json"
+    ab = ABTesting("SyntheticMicroscopy", batch_size=batch_size)
     table = ab.ab_make_table(checkpoints, valid_indices, table_path,
                              test_grid=train_pipelines)
     png = ab_show_table(table_path, metric="accuracy")
@@ -59,13 +62,23 @@ def main():
     print(f"heatmap -> {png}")
 
     # drift-synthesis signal: on-diagonal (matched pipeline) accuracy should
-    # not be lower than off-diagonal
+    # not be lower than off-diagonal ('_meta' holds the config fingerprint)
     diag, off = [], []
     for k, v in table.items():
+        if "__VS__" not in k:
+            continue
         a, b = k.split("__VS__")
         (diag if a == b else off).append(v["accuracy_mean"])
-    print(f"matched-pipeline acc: {sum(diag) / len(diag):.3f}, "
-          f"swapped-pipeline acc: {sum(off) / len(off):.3f}")
+    summary = {"matched_acc": sum(diag) / len(diag),
+               "swapped_acc": (sum(off) / len(off)) if off else None,
+               "table_path": table_path, "heatmap": png}
+    print(f"matched-pipeline acc: {summary['matched_acc']:.3f}, "
+          f"swapped-pipeline acc: {summary['swapped_acc']}")
+    return summary
+
+
+def main():
+    run_cycle()
 
 
 if __name__ == "__main__":

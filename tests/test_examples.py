@@ -68,6 +68,34 @@ def test_drift_optimization_smoke(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "out" / "drift_optimization.json")
 
 
+def test_drift_cycle_smoke(tmp_path, monkeypatch):
+    """The third experiment family's driver (train per static pipeline ->
+    A/B table -> heatmap -> matched/swapped summary) runs end-to-end on
+    tiny shapes; guards the table-consumer against format changes (the
+    '_meta' config-fingerprint key broke the summary loop once)."""
+    monkeypatch.chdir(tmp_path)
+    _tiny_dataset(monkeypatch)
+    # the AB evaluator builds its own dataset: shrink it the same way
+    import raw2logit_tpu.evaluation.abtesting as AB
+    from raw2logit_tpu.data import SyntheticRawClassification
+    monkeypatch.setattr(
+        AB, "get_dataset",
+        lambda name, **kw: SyntheticRawClassification(n=8, h=64, w=64,
+                                                      seed=5))
+    mod = _load_example("drift_cycle")
+    summary = mod.run_cycle(
+        train_pipelines=[("bilinear", "sharpening_filter",
+                          "gaussian_denoising")],
+        epochs=1, batch_size=4,
+        table_path=str(tmp_path / "tables" / "ab.json"))
+    assert 0.0 <= summary["matched_acc"] <= 1.0
+    assert os.path.exists(summary["table_path"])
+    assert os.path.exists(summary["heatmap"])
+    with open(summary["table_path"]) as fh:
+        table = json.load(fh)
+    assert "_meta" in table and any("__VS__" in k for k in table)
+
+
 def _artifact(name):
     path = os.path.join(REPO, "results", name)
     if not os.path.exists(path):
