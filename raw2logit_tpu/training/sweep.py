@@ -38,6 +38,20 @@ def build_grid(datasets, augmentations, epochs, batch_size, lr, n_splits,
     return jobs
 
 
+def _fold_dirs(job):
+    """Per-fold run directories a successful job must have left on disk."""
+    n_splits = int(job["argv"][job["argv"].index("--n_splits") + 1])
+    run_dir = os.path.join("results", "runs", f"sweep_{job['dataset']}",
+                           job["run_name"])
+    return [os.path.join(run_dir, f"{job['run_name']}_{k}")
+            for k in range(n_splits)]
+
+
+def _job_artifacts_exist(job):
+    return all(os.path.exists(os.path.join(d, "state_dict.json"))
+               for d in _fold_dirs(job))
+
+
 def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
               python=sys.executable, out=None, resume=False):
     """checkpoints maps pipeline -> list of per-fold classifier checkpoints
@@ -58,10 +72,23 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
         try:
             with open(out) as fh:
                 manifest = json.load(fh)
-            done = {j["run_name"] for j in manifest.get("jobs", [])
-                    if j.get("returncode") == 0}
-            manifest["jobs"] = [j for j in manifest.get("jobs", [])
-                                if j.get("returncode") == 0]
+            kept = [j for j in manifest.get("jobs", [])
+                    if j.get("returncode") == 0 and _job_artifacts_exist(j)]
+            lost = [j for j in manifest.get("jobs", [])
+                    if j.get("returncode") == 0
+                    and not _job_artifacts_exist(j)]
+            for j in lost:
+                # checkpoints vanished (e.g. scratch wipe): retrain, and
+                # drop the stale paths so a truncated resume never hands
+                # dead checkpoint paths to the A/B harness.
+                cfg_key = f"{j['dataset']}/{j['augmentation']}"
+                cfg = manifest.get("configs", {}).get(cfg_key, {})
+                cfg.get("checkpoints", {}).pop(j["pipeline"], None)
+                cfg.get("state_dicts", {}).pop(j["pipeline"], None)
+                print(f"resume: artifacts missing, will retrain: "
+                      f"{j['run_name']}")
+            done = {j["run_name"] for j in kept}
+            manifest["jobs"] = kept
             print(f"resuming: {len(done)} jobs already complete")
         except ValueError:
             manifest = {"jobs": [], "checkpoints": {}, "state_dicts": {},
@@ -97,12 +124,7 @@ def run_sweep(jobs, shard=0, n_shards=1, dry_run=False,
         job = dict(job, returncode=rc)
         manifest["jobs"].append(job)
         if rc == 0:
-            n_splits = int(job["argv"][job["argv"].index("--n_splits") + 1])
-            run_dir = os.path.join("results", "runs",
-                                   f"sweep_{job['dataset']}",
-                                   job["run_name"])
-            folds = [os.path.join(run_dir, f"{job['run_name']}_{k}")
-                     for k in range(n_splits)]
+            folds = _fold_dirs(job)
             cfg_key = f"{job['dataset']}/{job['augmentation']}"
             cfg = manifest["configs"].setdefault(
                 cfg_key, {"checkpoints": {}, "state_dicts": {}})

@@ -250,6 +250,39 @@ def test_sweep_grid_and_dry_run(capsys):
     assert manifest["jobs"] == []
 
 
+def test_sweep_resume_retrains_when_artifacts_vanish(tmp_path, monkeypatch,
+                                                     capsys):
+    """--resume must not trust the manifest's returncode alone: if a job's
+    per-fold state_dict.json files are gone (scratch wipe between
+    sessions), the job is retrained and its stale checkpoint paths are
+    purged from the manifest instead of being handed to the A/B harness."""
+    monkeypatch.chdir(tmp_path)
+    import json
+    from raw2logit_tpu.training.sweep import build_grid, run_sweep
+    jobs = build_grid(["SyntheticMicroscopy"], ["weak"], 1, 4, 1e-5, 1)
+    lost, kept = jobs[0], jobs[1]
+    # fabricate a manifest claiming both succeeded, but only create
+    # artifacts for `kept`
+    run_dir = (tmp_path / "results" / "runs" / "sweep_SyntheticMicroscopy"
+               / kept["run_name"] / f"{kept['run_name']}_0")
+    run_dir.mkdir(parents=True)
+    (run_dir / "state_dict.json").write_text("{}")
+    cfg = {"checkpoints": {j["pipeline"]: ["x"] for j in (lost, kept)},
+           "state_dicts": {j["pipeline"]: ["y"] for j in (lost, kept)}}
+    manifest = {"jobs": [dict(j, returncode=0) for j in (lost, kept)],
+                "configs": {"SyntheticMicroscopy/weak": cfg}}
+    out = tmp_path / "manifest.json"
+    out.write_text(json.dumps(manifest))
+    result = run_sweep(jobs[:2], dry_run=True, out=str(out), resume=True)
+    printed = capsys.readouterr().out
+    assert f"will retrain: {lost['run_name']}" in printed
+    assert f"skip (done): {kept['run_name']}" in printed
+    assert lost["run_name"] in printed.split("skip")[0]
+    cfg2 = result["configs"]["SyntheticMicroscopy/weak"]
+    assert lost["pipeline"] not in cfg2["checkpoints"]
+    assert kept["pipeline"] in cfg2["checkpoints"]
+
+
 def test_save_locally_writes_state(tmp_path, monkeypatch):
     """--save_locally copies the final per-fold state to saved_models/
     (the reference's dangling TODO implemented, train.py:49-50)."""
