@@ -13,6 +13,17 @@ adversarial ISP — the experiment's RESULT, not just its machinery
 attack must collapse accuracy while the SSIM regularizer keeps the
 images close to the default pipeline's.
 
+SIGN OF aux_weight: the aux term added to the (negated) task loss is
+weight * SSIM(default RGB, adversarial RGB), exactly the reference's
+AuxLoss (utils/base.py:346-358). Since the optimizer MINIMIZES the
+total, a POSITIVE weight (the reference's default, train.py:105)
+rewards driving SSIM DOWN — the opposite of README.md:100-118's
+"regularized to stay close to the default pipeline". The forensics
+experiment therefore runs with a NEGATIVE weight, which turns the term
+into a proximity reward; measured with weight=+0.3 the attack shreds
+the images to SSIM 0.07 (the r4-committed artifact), with weight=-1 it
+holds SSIM high while the accuracy still collapses.
+
 Run CPU-only:
   env -u PALLAS_AXON_POOL_IPS -u PYTHONPATH JAX_PLATFORMS=cpu \
       python examples/drift_forensics.py [--targets all gamma_correct]
@@ -42,9 +53,10 @@ def _flat_params(tree, prefix=()):
     return {"/".join(prefix): np.asarray(tree, np.float32)}
 
 
-def run_forensics(targets=("all", "gamma_correct"), pre_epochs=10,
-                  adv_epochs=6, batch_size=8, aux_weight=0.3,
-                  out_dir="results", extra=(), track=True):
+def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
+                  pre_epochs=10, adv_epochs=6, batch_size=8,
+                  aux_weight=-1.0, out_dir="results", extra=(),
+                  track=True):
     """Pretrain once (classifier on the FROZEN default ISP — so the
     frozen-classifier baseline is exactly its own training pipeline),
     then run one adversarial ISP search per target. Returns the list of
@@ -134,12 +146,19 @@ def run_forensics(targets=("all", "gamma_correct"), pre_epochs=10,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--targets", nargs="+",
-                   default=["all", "gamma_correct"])
+                   default=["all", "additive_layer", "gamma_correct"])
     p.add_argument("--pre_epochs", type=int, default=10)
     p.add_argument("--adv_epochs", type=int, default=6)
+    p.add_argument("--aux_weight", type=float, default=-1.0,
+                   help="weight on SSIM(default, adversarial) added to "
+                        "the negated task loss; NEGATIVE rewards staying "
+                        "close to the default pipeline (see module "
+                        "docstring for why the reference's positive "
+                        "default does the opposite)")
     args, extra = p.parse_known_args()
     run_forensics(targets=args.targets, pre_epochs=args.pre_epochs,
-                  adv_epochs=args.adv_epochs, extra=extra)
+                  adv_epochs=args.adv_epochs, aux_weight=args.aux_weight,
+                  extra=extra)
 
 
 if __name__ == "__main__":
