@@ -7,11 +7,11 @@ Reproduces the reference's failure-mode search (README.md:100-118,
 train.py:241-273) and writes results/forensics_<target>.json per
 adversarial-parameter target: baseline accuracy (the frozen classifier
 on the default ISP it was trained on), the per-epoch accuracy and
-aux-SSIM trajectory under attack, and the per-parameter drift of the
-adversarial ISP — the experiment's RESULT, not just its machinery
-(VERDICT r4 item 3). tests/test_examples.py pins the semantics: the
-attack must collapse accuracy while the SSIM regularizer keeps the
-images close to the default pipeline's.
+aux-SSIM trajectory under attack, the per-parameter drift of the
+adversarial ISP, and the CONSTRAINED-BEST attack state (below) —
+the experiment's RESULT, not just its machinery (VERDICT r4 item 3).
+tests/test_examples.py pins the semantics: the attack must collapse
+accuracy while staying close to the default pipeline's images.
 
 SIGN OF aux_weight: the aux term added to the (negated) task loss is
 weight * SSIM(default RGB, adversarial RGB), exactly the reference's
@@ -19,10 +19,21 @@ AuxLoss (utils/base.py:346-358). Since the optimizer MINIMIZES the
 total, a POSITIVE weight (the reference's default, train.py:105)
 rewards driving SSIM DOWN — the opposite of README.md:100-118's
 "regularized to stay close to the default pipeline". The forensics
-experiment therefore runs with a NEGATIVE weight, which turns the term
-into a proximity reward; measured with weight=+0.3 the attack shreds
-the images to SSIM 0.07 (the r4-committed artifact), with weight=-1 it
-holds SSIM high while the accuracy still collapses.
+experiment therefore runs with a NEGATIVE weight (proximity reward).
+
+CONSTRAINED-BEST PROTOCOL: the negated task loss is unbounded below,
+so with ANY fixed proximity weight a long enough attack eventually
+shreds the images (measured: target=all at lr 1e-2 / weight -1 is at
+SSIM 0.16 after one epoch and 0.07 after eight). The forensic question
+is the constrained optimum along the attack path — the largest accuracy
+drop among states whose SSIM to the default pipeline stays >= a bound —
+so the experiment records the whole trajectory, selects the best epoch
+under the bound (max drop; ties broken toward max SSIM = the NEAREST
+destructive configuration), and re-runs the attack deterministically
+for exactly that many epochs (same seed, same keyed-PRNG chain, same
+graph) to recover that epoch's parameter state for the drift report.
+The end-of-attack state is reported alongside (final_* fields) to
+document where the unconstrained dynamics go.
 
 Run CPU-only:
   env -u PALLAS_AXON_POOL_IPS -u PYTHONPATH JAX_PLATFORMS=cpu \
@@ -42,6 +53,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from raw2logit_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
+# per-target attack hyperparameters: 'all' includes black_level, whose
+# Adam-scale-free updates shred the image within one epoch at lr 1e-2
+# (SSIM 0.16 after 6 steps) — a finer lr samples the high-SSIM region
+# of the attack path at epoch granularity so the constrained optimum
+# is observable.
+PER_TARGET = {"all": {"lr": 1e-3, "epochs": 24}}
+
+
+def select_epoch(baseline_acc, accs, ssims, ssim_bound):
+    """Constrained-best attack epoch: among epochs whose SSIM to the
+    default pipeline is >= ssim_bound, pick the max accuracy drop;
+    break ties toward max SSIM (the NEAREST destructive configuration).
+    Returns the 0-based epoch index, or None if no epoch qualifies."""
+    qualifying = [i for i, s in enumerate(ssims) if s >= ssim_bound]
+    if not qualifying:
+        return None
+    return max(qualifying,
+               key=lambda i: (baseline_acc - accs[i], ssims[i]))
+
 
 def _flat_params(tree, prefix=()):
     import numpy as np
@@ -53,17 +83,33 @@ def _flat_params(tree, prefix=()):
     return {"/".join(prefix): np.asarray(tree, np.float32)}
 
 
+def _drift(state, ref_state=None):
+    import numpy as np
+    adv_flat = _flat_params(state.proc_params)
+    ref_flat = _flat_params(state.ref_proc_params)
+    drift = {}
+    for name, a in adv_flat.items():
+        r = ref_flat[name]
+        denom = float(np.abs(r).max()) or 1.0
+        drift[name] = round(float(np.abs(a - r).max()) / denom, 5)
+    return drift
+
+
 def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
                   pre_epochs=10, adv_epochs=6, batch_size=8,
-                  aux_weight=-1.0, out_dir="results", extra=(),
-                  track=True):
+                  aux_weight=-1.0, ssim_bound=0.5, out_dir="results",
+                  extra=(), track=True, per_target=None,
+                  reuse_pretrain=False):
     """Pretrain once (classifier on the FROZEN default ISP — so the
     frozen-classifier baseline is exactly its own training pipeline),
-    then run one adversarial ISP search per target. Returns the list of
-    per-target report dicts (also written to out_dir)."""
+    then run one adversarial ISP search per target and select the
+    constrained-best attack state (see module docstring). Returns the
+    list of per-target report dicts (also written to out_dir)."""
     import numpy as np
     from raw2logit_tpu.training.train import build_parser, run_train
     extra = list(extra)
+    if per_target is None:
+        per_target = PER_TARGET
 
     pre = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
            "parametrized", "--freeze_processor",
@@ -72,9 +118,16 @@ def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
            "--lr_schedule", "cosine", "--augmentation", "weak",
            "--experiment_name", "forensics", "--run_name", "pretrain",
            *extra]
-    results = run_train(build_parser().parse_args(pre))
-    pre_run = results[0]["run"]
-    clf_ckpt = os.path.join(pre_run.dir, "checkpoints", "classifier")
+    clf_ckpt = os.path.join("results", "runs", "forensics", "pretrain",
+                            "pretrain_0", "checkpoints", "classifier")
+    if reuse_pretrain and os.path.isdir(clf_ckpt):
+        from raw2logit_tpu.tracking.run import Run
+        pre_run = Run("forensics", "pretrain")
+        pre_run = pre_run.child("pretrain_0")
+    else:
+        results = run_train(build_parser().parse_args(pre))
+        pre_run = results[0]["run"]
+        clf_ckpt = os.path.join(pre_run.dir, "checkpoints", "classifier")
     pre_metrics = pre_run.read_metrics()
     baseline_acc = [m["val_accuracy"] for m in pre_metrics
                     if "val_accuracy" in m][-1]
@@ -88,8 +141,7 @@ def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
         "--adv_track_differences", "--track_processing",
         "--track_processing_gradients"]
 
-    reports = []
-    for target in targets:
+    def attack(target, run_name, epochs, lr):
         adv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
                "parametrized", "--adv_training", "--freeze_classifier",
                "--classifier_uri", clf_ckpt,
@@ -97,13 +149,19 @@ def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
                "--adv_aux_weight", str(aux_weight),
                "--adv_noise_layer", "--adv_parameters", target,
                *tracking,
-               "--epochs", str(adv_epochs),
+               "--epochs", str(epochs),
                "--batch_size", str(batch_size), "--n_splits", "1",
-               "--lr", "1e-2", "--experiment_name", "forensics",
-               "--run_name", f"adv_{target}", *extra]
-        results = run_train(build_parser().parse_args(adv))
-        run = results[0]["run"]
-        state = results[0]["state"]
+               "--lr", str(lr), "--experiment_name", "forensics",
+               "--run_name", run_name, *extra]
+        return run_train(build_parser().parse_args(adv))[0]
+
+    reports = []
+    for target in targets:
+        cfg = per_target.get(target, {})
+        epochs = int(cfg.get("epochs", adv_epochs))
+        lr = float(cfg.get("lr", 1e-2))
+        res = attack(target, f"adv_{target}", epochs, lr)
+        run, state = res["run"], res["state"]
 
         metrics = run.read_metrics()
         accs = [m["val_accuracy"] for m in metrics if "val_accuracy" in m]
@@ -111,24 +169,63 @@ def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
         ssims = [m["val_loss_aux"] / aux_weight for m in metrics
                  if "val_loss_aux" in m]
 
-        adv_flat = _flat_params(state.proc_params)
-        ref_flat = _flat_params(state.ref_proc_params)
-        drift = {}
-        for name, a in adv_flat.items():
-            r = ref_flat[name]
-            denom = float(np.abs(r).max()) or 1.0
-            drift[name] = round(float(np.abs(a - r).max()) / denom, 5)
+        i_sel = select_epoch(baseline_acc, accs, ssims, ssim_bound)
+        sel_epoch = sel_acc = sel_ssim = sel_drift = None
+        replay_match = None
+        if i_sel is not None:
+            if i_sel == len(accs) - 1:
+                sel_state, sel_run_metrics = state, None
+            else:
+                # deterministic replay: same seed => identical keyed-PRNG
+                # chain and data order, so stopping at epoch i_sel+1
+                # reproduces that epoch's state bit-for-bit
+                res_sel = attack(target, f"adv_{target}_sel",
+                                 i_sel + 1, lr)
+                sel_state = res_sel["state"]
+                sm = res_sel["run"].read_metrics()
+                sel_run_metrics = (
+                    [m["val_accuracy"] for m in sm
+                     if "val_accuracy" in m][-1],
+                    [m["val_loss_aux"] / aux_weight for m in sm
+                     if "val_loss_aux" in m][-1])
+            sel_epoch = i_sel + 1
+            sel_acc, sel_ssim = float(accs[i_sel]), float(ssims[i_sel])
+            if sel_run_metrics is not None:
+                replay_match = bool(
+                    abs(sel_run_metrics[0] - sel_acc) < 1e-6
+                    and abs(sel_run_metrics[1] - sel_ssim) < 1e-6)
+                if not replay_match:
+                    print(f"[{target}] WARNING: selection replay diverged "
+                          f"(traj acc/ssim {sel_acc:.4f}/{sel_ssim:.4f} vs "
+                          f"replay {sel_run_metrics[0]:.4f}/"
+                          f"{sel_run_metrics[1]:.4f})")
+                    sel_acc, sel_ssim = sel_run_metrics
+            sel_drift = _drift(sel_state)
 
         report = {
             "target": target,
             "aux_weight": aux_weight,
+            "attack_lr": lr,
+            "ssim_bound": ssim_bound,
             "baseline_val_accuracy": round(float(baseline_acc), 4),
             "val_accuracy_per_epoch": [round(float(a), 4) for a in accs],
+            "aux_ssim_per_epoch": [round(float(s), 4) for s in ssims],
+            # end-of-attack state (unconstrained dynamics)
             "final_val_accuracy": round(float(accs[-1]), 4),
             "accuracy_drop": round(float(baseline_acc - accs[-1]), 4),
-            "aux_ssim_per_epoch": [round(float(s), 4) for s in ssims],
             "final_aux_ssim": round(float(ssims[-1]), 4),
-            "param_drift_relmax": drift,
+            "param_drift_relmax": _drift(state),
+            # constrained-best state (the forensic finding)
+            "selected_epoch": sel_epoch,
+            "selected_val_accuracy": (None if sel_acc is None
+                                      else round(sel_acc, 4)),
+            "selected_accuracy_drop": (
+                None if sel_acc is None
+                else round(float(baseline_acc) - sel_acc, 4)),
+            "selected_aux_ssim": (None if sel_ssim is None
+                                  else round(sel_ssim, 4)),
+            "selected_param_drift_relmax": sel_drift,
+            "selection_replay_match": replay_match,
             "stage_artifacts": (os.path.join(run.dir, "results")
                                 if tracking else None),
         }
@@ -137,9 +234,16 @@ def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
         out = os.path.join(out_dir, f"forensics_{target}.json")
         with open(out, "w") as fh:
             json.dump(report, fh, indent=2)
-        print(f"[{target}] accuracy {baseline_acc:.3f} -> "
-              f"{accs[-1]:.3f} (drop {report['accuracy_drop']:.3f}), "
-              f"SSIM vs default pipeline {ssims[-1]:.3f} -> {out}")
+        if sel_epoch is None:
+            print(f"[{target}] NO epoch held SSIM >= {ssim_bound}; "
+                  f"end state: accuracy {baseline_acc:.3f} -> "
+                  f"{accs[-1]:.3f}, SSIM {ssims[-1]:.3f} -> {out}")
+        else:
+            print(f"[{target}] constrained-best (epoch {sel_epoch}): "
+                  f"accuracy {baseline_acc:.3f} -> {sel_acc:.3f} "
+                  f"(drop {report['selected_accuracy_drop']:.3f}) at "
+                  f"SSIM {sel_ssim:.3f} >= {ssim_bound}; end state "
+                  f"acc {accs[-1]:.3f} / SSIM {ssims[-1]:.3f} -> {out}")
     return reports
 
 
@@ -155,10 +259,18 @@ def main():
                         "close to the default pipeline (see module "
                         "docstring for why the reference's positive "
                         "default does the opposite)")
+    p.add_argument("--ssim_bound", type=float, default=0.5,
+                   help="constrained-best selection bound: the reported "
+                        "attack is the strongest epoch whose SSIM to the "
+                        "default pipeline stays >= this")
+    p.add_argument("--reuse_pretrain", action="store_true",
+                   help="skip pretraining when the frozen-classifier "
+                        "checkpoint already exists")
     args, extra = p.parse_known_args()
     run_forensics(targets=args.targets, pre_epochs=args.pre_epochs,
                   adv_epochs=args.adv_epochs, aux_weight=args.aux_weight,
-                  extra=extra)
+                  ssim_bound=args.ssim_bound, extra=extra,
+                  reuse_pretrain=args.reuse_pretrain)
 
 
 if __name__ == "__main__":

@@ -368,6 +368,16 @@ def run_train(args):
                               drop_last=False)
 
         run = parent.child(f"{args.run_name}_{k_iter}")
+        if not args.resume:
+            # A fresh (non-resume) training into a reused run dir must not
+            # append onto a previous attempt's metrics: read_metrics() would
+            # return a mixed-provenance trajectory (the first committed r5
+            # forensics_all artifact carried 3 stale epochs from a killed
+            # earlier attempt this way). --resume keeps the append semantics
+            # the resume-safe sweep relies on.
+            stale_metrics = os.path.join(run.dir, "metrics.jsonl")
+            if os.path.exists(stale_metrics):
+                os.remove(stale_metrics)
         run.log_state_dict(state_dict)
         run.log_params({"dataset": args.dataset,
                         "processing_mode": args.processing_mode,

@@ -46,6 +46,11 @@ def test_drift_forensics_smoke(tmp_path, monkeypatch):
     assert report["target"] == "gamma_correct"
     assert 0.0 <= report["final_val_accuracy"] <= 1.0
     assert len(report["aux_ssim_per_epoch"]) == 1
+    # constrained-best selection fields are present and consistent
+    if report["selected_epoch"] is not None:
+        assert report["selected_aux_ssim"] >= report["ssim_bound"]
+        assert set(report["selected_param_drift_relmax"]) == set(
+            report["param_drift_relmax"])
     # targeted attack: only gamma (and the injected additive/noise
     # layer) may drift; every other ISP parameter is frozen
     drift = report["param_drift_relmax"]
@@ -55,6 +60,24 @@ def test_drift_forensics_smoke(tmp_path, monkeypatch):
             assert rel == 0.0, (name, rel)
     with open(tmp_path / "out" / "forensics_gamma_correct.json") as fh:
         assert json.load(fh) == report
+
+
+def test_forensics_select_epoch():
+    """Constrained-best selection: max accuracy drop subject to
+    SSIM >= bound, ties broken toward max SSIM (nearest destructive
+    configuration); None when no epoch holds the bound."""
+    mod = _load_example("drift_forensics")
+    sel = mod.select_epoch
+    # max drop under the bound wins even if later epochs drop more
+    assert sel(1.0, [0.5, 0.3, 0.2], [0.9, 0.6, 0.3], 0.5) == 1
+    # tie on drop -> nearest (max SSIM)
+    assert sel(1.0, [0.4, 0.4, 0.4], [0.7, 0.9, 0.8], 0.5) == 1
+    # nothing qualifies
+    assert sel(1.0, [0.4, 0.4], [0.3, 0.1], 0.5) is None
+    # everything qualifies, no drop anywhere -> max SSIM
+    assert sel(1.0, [1.0, 1.0], [0.99, 0.97], 0.5) == 0
+    # bound exactly met qualifies
+    assert sel(1.0, [0.2], [0.5], 0.5) == 0
 
 
 def test_drift_optimization_smoke(tmp_path, monkeypatch):
@@ -106,19 +129,29 @@ def _artifact(name):
 
 @pytest.mark.parametrize("target", ["all", "additive_layer"])
 def test_forensics_artifact_pins(target):
-    """Committed forensics outcome: the adversarial ISP drops the frozen
-    classifier's accuracy by a clear margin while the SSIM regularizer
-    keeps the images close to the default pipeline's (reference
-    README.md:100-118's failure-mode search, quantified; the negative
-    aux weight realizes the README's "stay close" — see
-    examples/drift_forensics.py's docstring on the reference's sign)."""
+    """Committed forensics outcome: the adversarial ISP search found a
+    configuration that drops the frozen classifier's accuracy by a clear
+    margin while staying close to the default pipeline's images
+    (reference README.md:100-118's failure-mode search, quantified).
+    The pinned state is the CONSTRAINED-BEST epoch — max accuracy drop
+    subject to SSIM >= the bound — because the negated task loss is
+    unbounded and any fixed proximity weight eventually shreds the
+    images (see examples/drift_forensics.py's docstring on both the
+    reference's aux sign and the selection protocol)."""
     rep = _artifact(f"forensics_{target}.json")
     assert rep["aux_weight"] < 0, "proximity reward requires weight < 0"
     assert rep["baseline_val_accuracy"] >= 0.85, \
         "baseline classifier did not converge"
-    assert rep["accuracy_drop"] >= 0.25, rep
-    assert rep["final_aux_ssim"] >= 0.5, rep
-    assert max(rep["param_drift_relmax"].values()) > 0.0
+    assert rep["selected_epoch"] is not None, \
+        "no attack epoch held the SSIM bound"
+    assert rep["selected_accuracy_drop"] >= 0.25, rep
+    assert rep["selected_aux_ssim"] >= rep["ssim_bound"] >= 0.5, rep
+    assert max(rep["selected_param_drift_relmax"].values()) > 0.0
+    # when the selected state was recovered by deterministic replay, the
+    # replayed epoch reproduced the original trajectory's metrics
+    assert rep["selection_replay_match"] in (None, True), rep
+    # the unconstrained end state is documented alongside
+    assert len(rep["val_accuracy_per_epoch"]) >= rep["selected_epoch"]
 
 
 def test_forensics_targeted_pin():

@@ -240,6 +240,28 @@ def test_serving_predictor_roundtrip(tmp_path, monkeypatch):
     assert np.all(np.isfinite(out))
 
 
+def test_fresh_run_truncates_stale_metrics(tmp_path, monkeypatch):
+    """Re-running a (non-resume) training under an existing run name must
+    not append onto the previous attempt's metrics.jsonl — read_metrics()
+    would return a mixed-provenance trajectory (this produced a committed
+    forensics artifact with 3 stale epochs in round 5). --resume keeps
+    the append semantics the resume-safe sweep relies on."""
+    monkeypatch.chdir(tmp_path)
+    from raw2logit_tpu.training.train import build_parser, run_train
+    argv = ["--dataset", "SyntheticMicroscopy", "--processing_mode",
+            "static", "--epochs", "1", "--batch_size", "4",
+            "--n_splits", "1", "--test_run",
+            "--experiment_name", "fresh", "--run_name", "f0"]
+    (run1,) = run_train(build_parser().parse_args(argv))
+    n_one = len(run1["run"].read_metrics())
+    assert n_one > 0
+    (run2,) = run_train(build_parser().parse_args(argv))
+    assert run2["run"].dir == run1["run"].dir
+    assert len(run2["run"].read_metrics()) == n_one  # truncated, not 2x
+    (run3,) = run_train(build_parser().parse_args(argv + ["--resume"]))
+    assert len(run3["run"].read_metrics()) == 2 * n_one  # resume appends
+
+
 def test_sweep_grid_and_dry_run(capsys):
     from raw2logit_tpu.training.sweep import build_grid, run_sweep
     jobs = build_grid(["SyntheticMicroscopy"], ["weak"], 1, 4, 1e-5, 1)
