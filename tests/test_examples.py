@@ -188,3 +188,24 @@ def test_optimization_artifact_pins():
     assert (first_at(rep["joint_val_accuracy"])
             <= first_at(rep["frozen_val_accuracy"])), rep
     assert rep["joint_val_accuracy"][-1] >= 0.85, rep
+
+
+def test_science_figures_render(tmp_path):
+    """tools/science_figures.py renders the three experiment-family
+    figures from the committed JSON artifacts (the reference ships its
+    experiment results as figures — figures/ABtesting.py:430-487,
+    figures/figures.py:57-92; this keeps the forensics / optimization /
+    severity families figure-backed too)."""
+    for name in ("forensics_all.json", "forensics_additive_layer.json",
+                 "forensics_gamma_correct.json", "drift_optimization.json",
+                 "drift_severity_summary.json"):
+        if not os.path.exists(os.path.join(REPO, "results", name)):
+            pytest.skip(f"{name} not generated yet")
+    spec = importlib.util.spec_from_file_location(
+        "science_figures", os.path.join(REPO, "tools", "science_figures.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    paths = mod.make_all(out_dir=str(tmp_path))
+    assert len(paths) == 3
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 10_000
