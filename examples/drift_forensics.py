@@ -96,7 +96,7 @@ def _drift(state, ref_state=None):
 
 
 def run_forensics(targets=("all", "additive_layer", "gamma_correct"),
-                  pre_epochs=10, adv_epochs=6, batch_size=8,
+                  pre_epochs=12, adv_epochs=8, batch_size=8,
                   aux_weight=-1.0, ssim_bound=0.5, out_dir="results",
                   extra=(), track=True, per_target=None,
                   reuse_pretrain=False):
@@ -251,8 +251,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--targets", nargs="+",
                    default=["all", "additive_layer", "gamma_correct"])
-    p.add_argument("--pre_epochs", type=int, default=10)
-    p.add_argument("--adv_epochs", type=int, default=6)
+    p.add_argument("--pre_epochs", type=int, default=12)
+    p.add_argument("--adv_epochs", type=int, default=8,
+                   help="attack length for targets without a PER_TARGET "
+                        "override (committed recipe: 8 @ lr 1e-2; "
+                        "'all' overrides to 24 @ 1e-3)")
     p.add_argument("--aux_weight", type=float, default=-1.0,
                    help="weight on SSIM(default, adversarial) added to "
                         "the negated task loss; NEGATIVE rewards staying "
