@@ -436,3 +436,33 @@ def test_drift_severity_summary_artifact():
         _os.path.join(tables, "Ctable_SyntheticMicroscopy_weak.json"))
     assert fresh["ab_offdiagonal_drop_mean"] == rep["ab_offdiagonal_drop_mean"]
     assert fresh["c_drop_mean"] == rep["c_drop_mean"]
+
+
+def test_show_all_images_cli(tmp_path, monkeypatch):
+    """figures/ABtesting.py --mode ABShowAllImages / CShowAllImages: the
+    reference's static galleries (no model; ABtesting.py:337-369,395-427)
+    render every pipeline / every corruption x severity for one image."""
+    import importlib.util as _ilu
+
+    from raw2logit_tpu.data.datasets import SyntheticRawClassification
+    import raw2logit_tpu.evaluation.abtesting as abt
+    monkeypatch.setattr(
+        abt, "get_dataset",
+        lambda name, **kw: SyntheticRawClassification(n=4, h=32, w=32,
+                                                      seed=3))
+    spec = _ilu.spec_from_file_location(
+        "ab_cli", os.path.join(os.path.dirname(__file__), "..",
+                               "figures", "ABtesting.py"))
+    cli = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    out = str(tmp_path / "ab")
+    cli.main(["--mode", "ABShowAllImages", "--dataset_name", "Tiny",
+              "--out_dir", out])
+    pngs = os.listdir(os.path.join(out, "images", "Tiny"))
+    assert len([p for p in pngs if p.endswith(".png")]) == 12
+
+    cli.main(["--mode", "CShowAllImages", "--dataset_name", "Tiny",
+              "--out_dir", out])
+    pngs = os.listdir(os.path.join(out, "images", "Tiny"))
+    assert len(pngs) >= 12 + 11  # 12 pipelines + 11 corruptions
